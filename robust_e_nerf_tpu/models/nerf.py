@@ -1,0 +1,244 @@
+"""NeRF wrapper: rays, occupancy-accelerated rendering, grid updates.
+
+Counterpart of the reference `models/nerf.py` (class NeRF), assembled from
+the TPU-native pieces: the radiance field (models/fields.py), the occupancy
+grid (models/occupancy.py), the fixed-shape marcher (ops/ray_march.py) and
+the compositor (ops/composite.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import composite as composite_mod
+from ..ops import ray_march
+from ..utils import transforms
+from . import fields, occupancy
+
+NUM_DIM = 3
+MAX_NUM_SAMPLES_PER_RAY = 1024  # robust_e_nerf.py:19
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfSpec:
+    field: Union[fields.NGPFieldSpec, fields.VanillaFieldSpec]
+    occ: occupancy.OccGridSpec
+    march_train: ray_march.MarchSpec
+    march_eval: ray_march.MarchSpec
+    render_step_size: float
+    near_plane: Optional[float]
+    far_plane: Optional[float]
+    cone_angle: float
+    early_stop_eps: float
+    alpha_thre: float
+    test_chunk_size: int
+    render_bkgd: Optional[str]  # None | "parameter"
+    radiance_dim: int
+    opacity_eps: float = 1e-10
+
+
+def derive_render_step_size(nerf_config, aabb):
+    """`render_step_size: auto` = sqrt(3) * max_extent / 1024
+    (robust_e_nerf.py:220-228)."""
+    if nerf_config["render_step_size"] == "auto":
+        aabb = np.asarray(aabb, dtype=np.float64)
+        return float(
+            math.sqrt(NUM_DIM) * float(np.max(aabb[NUM_DIM:] - aabb[:NUM_DIM]))
+            / MAX_NUM_SAMPLES_PER_RAY
+        )
+    return float(nerf_config["render_step_size"])
+
+
+def build_nerf_spec(
+    nerf_config,
+    aabb,
+    radiance_dim,
+    render_bkgd,
+    train_capacity,
+    eval_capacity=None,
+):
+    """Static spec from the `model.nerf` config block (models/nerf.py:31-168).
+
+    `train_capacity` is the compacted sample-buffer size for training — set it
+    to (a margin above) `train_eff_ray_sample_batch_size / num_chips` so the
+    per-chip field evaluation is exactly the reference's ray-sample budget.
+    """
+    contraction_type = nerf_config["contraction_type"]
+    assert contraction_type in ("aabb", "sphere", "tanh")
+    render_step_size = derive_render_step_size(nerf_config, aabb)
+    near = nerf_config.get("near_plane")
+    far = nerf_config.get("far_plane")
+    cone_angle = float(nerf_config["cone_angle"])
+
+    occ_spec = occupancy.build_spec(nerf_config["occ_grid"], contraction_type)
+
+    max_s = ray_march.max_lattice_samples(
+        aabb, render_step_size, near, far, contraction_type, cone_angle,
+        hard_cap=MAX_NUM_SAMPLES_PER_RAY,
+    )
+    if eval_capacity is None:
+        eval_capacity = train_capacity
+    march_kwargs = dict(
+        contraction_type=contraction_type,
+        render_step_size=render_step_size,
+        near_plane=None if near is None else float(near),
+        far_plane=None if far is None else float(far),
+        cone_angle=cone_angle,
+        max_samples_per_ray=max_s,
+    )
+    march_train = ray_march.MarchSpec(capacity=int(train_capacity),
+                                      **march_kwargs)
+    march_eval = ray_march.MarchSpec(capacity=int(eval_capacity),
+                                     **march_kwargs)
+
+    field_spec = fields.build_field_spec(
+        nerf_config["arch"],
+        nerf_config[nerf_config["arch"]],
+        contraction_type,
+        radiance_dim,
+        NUM_DIM,
+    )
+    return NerfSpec(
+        field=field_spec,
+        occ=occ_spec,
+        march_train=march_train,
+        march_eval=march_eval,
+        render_step_size=render_step_size,
+        near_plane=None if near is None else float(near),
+        far_plane=None if far is None else float(far),
+        cone_angle=cone_angle,
+        early_stop_eps=float(nerf_config["early_stop_eps"]),
+        alpha_thre=float(nerf_config["alpha_thre"]),
+        test_chunk_size=int(nerf_config["test_chunk_size"]),
+        render_bkgd=render_bkgd,
+        radiance_dim=radiance_dim,
+    )
+
+
+def init_nerf_params(key, spec: NerfSpec):
+    k_field, _ = jax.random.split(key)
+    params = {"radiance_field": fields.init_field(k_field, spec.field)}
+    if spec.render_bkgd == "parameter":
+        # softplus-constrained background initialized to 1.0
+        # (models/nerf.py:79-90)
+        params["render_bkgd_raw"] = jnp.full(
+            (spec.radiance_dim,),
+            transforms.inv_softplus(jnp.float32(1.0)),
+            dtype=jnp.float32,
+        )
+    return params
+
+
+def get_render_bkgd(params, spec: NerfSpec):
+    if spec.render_bkgd == "parameter":
+        return transforms.softplus(params["render_bkgd_raw"])
+    return None
+
+
+def pixel_params_to_ray(intrinsics_inv, pixel_position, t_wc_position,
+                        t_wc_orientation):
+    """Pixel coords + pose -> (ray origin, unit ray direction)
+    (models/nerf.py:206-228).
+
+    intrinsics_inv ([[M,] N,] 3, 3); pixel_position ([M,] N, 2);
+    t_wc_position ([M,] N, 3); t_wc_orientation ([M,] N, 3, 3).
+    """
+    homog = jnp.concatenate(
+        [pixel_position, jnp.ones_like(pixel_position[..., :1])], axis=-1
+    )
+    cam_dir = jnp.einsum("...ij,...j->...i", intrinsics_inv, homog)
+    world_dir = jnp.einsum("...ij,...j->...i", t_wc_orientation, cam_dir)
+    world_dir = world_dir / jnp.linalg.norm(
+        world_dir, axis=-1, keepdims=True
+    )
+    return t_wc_position, world_dir
+
+
+def render_rays(
+    nerf_params,
+    occ_binary,
+    aabb,
+    origins,        # (B, 3)
+    directions,     # (B, 3)
+    ray_valid,      # (B,) bool
+    spec: NerfSpec,
+    march_spec: ray_march.MarchSpec,
+    key=None,       # stratified jitter (training)
+):
+    """Occupancy-accelerated volume rendering of a batch of rays.
+
+    Returns (radiance (B, C), opacity (B,), depth (B,), n_visible (),
+    total_marched ()).  `depth` is the expected termination distance along
+    the ray normalized by opacity (models/nerf.py:267-285); the caller
+    converts it to z-depth via the principal-axis cosine.
+    """
+    num_rays = origins.shape[0]
+    buf = ray_march.march_and_compact(
+        origins, directions, ray_valid, occ_binary, aabb, spec.occ,
+        march_spec, key=key,
+    )
+    positions, dirs = ray_march.sample_positions(buf, origins, directions)
+    radiance, sigma = fields.field_apply(
+        nerf_params["radiance_field"], positions, dirs, aabb, spec.field
+    )
+    bkgd = get_render_bkgd(nerf_params, spec)
+    colors, opacity, depth, n_visible = composite_mod.composite(
+        sigma, radiance, buf, num_rays,
+        render_bkgd=bkgd,
+        early_stop_eps=spec.early_stop_eps,
+        alpha_thre=spec.alpha_thre,
+    )
+    depth = depth / (opacity + spec.opacity_eps)
+    return colors, opacity, depth, n_visible, buf["total"]
+
+
+def make_occ_eval_fn(nerf_params, aabb, spec: NerfSpec,
+                     trajectory_positions=None, key=None):
+    """Occupancy evaluation closure: density * step size, with the
+    cone-angle-aware step size sampled from random camera distances
+    (models/nerf.py:170-198)."""
+
+    def occ_eval_fn(x):
+        density = fields.field_query_density(
+            nerf_params["radiance_field"], x, aabb, spec.field
+        )
+        if spec.cone_angle > 0.0:
+            assert trajectory_positions is not None and key is not None
+            cam_ids = jax.random.randint(
+                key, (x.shape[0],), 0, trajectory_positions.shape[0]
+            )
+            origins = trajectory_positions[cam_ids]
+            t = jnp.linalg.norm(origins - x, axis=-1, keepdims=True)
+            step = jnp.maximum(t * spec.cone_angle, spec.render_step_size)
+            if spec.near_plane is not None and spec.far_plane is not None:
+                step = jnp.where(
+                    (t > spec.near_plane) & (t < spec.far_plane), step, 0.0
+                )
+            return density * step
+        return density * spec.render_step_size
+
+    return occ_eval_fn
+
+
+def update_occ_grid(nerf_params, occ_state, key, step, aabb,
+                    spec: NerfSpec, trajectory_positions=None,
+                    warmup: bool = True):
+    """One occupancy-grid update (nerfacc every_n_step semantics; the host
+    training loop provides the every-`n` cadence and the warmup flag)."""
+    k_eval, k_cells = jax.random.split(key)
+    occ_eval_fn = make_occ_eval_fn(
+        nerf_params, aabb, spec, trajectory_positions, k_eval
+    )
+    if warmup:
+        return occupancy.update_all_cells(
+            occ_state, occ_eval_fn, k_cells, aabb, spec.occ
+        )
+    return occupancy.update_sampled_cells(
+        occ_state, occ_eval_fn, k_cells, aabb, spec.occ
+    )

@@ -1,0 +1,235 @@
+"""Fixed-shape occupancy-skipping ray marching with global sample compaction.
+
+TPU-native replacement for `nerfacc.ray_marching` (used at
+external/utils.py:106-119).  The CUDA version emits ragged
+(ray_indices, t_starts, t_ends); XLA needs static shapes, so instead:
+
+  1. every ray gets a static lattice of at most S candidate samples
+     (uniform steps of `render_step_size`, growing geometrically when
+     `cone_angle` > 0, stratified per-ray jitter in training — the same
+     sample positions the reference's DDA marcher visits);
+  2. candidates are masked by AABB/near-far clipping, occupancy-grid lookup
+     and ray validity;
+  3. surviving candidates are compacted (cumsum + scatter) into a
+     fixed-capacity sample buffer, ray-major and in marching order.
+
+The compacted buffer is the static shape the rest of the pipeline sees: the
+field evaluation is always a dense `capacity x features` matmul on the MXU,
+independent of how many rays the dynamic batch-size controller requests —
+the reference's "constant ray-sample budget" invariant
+(robust_e_nerf.py:907-950) becomes the compiled shape itself.
+
+Gradients: like nerfacc's `rendering` (vol_rendering.py:37), outputs are
+*not* differentiable w.r.t. the sample t values; positions are computed by
+the caller as `origin[ray] + dir[ray] * stop_grad(t_mid)` so gradients (and
+jvp tangents for the l_grad loss) flow through ray origins/directions only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import contraction as contraction_mod
+from ..models import occupancy
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchSpec:
+    """Static marching configuration (from the `nerf` config block)."""
+
+    contraction_type: str
+    render_step_size: float
+    near_plane: Optional[float]
+    far_plane: Optional[float]
+    cone_angle: float
+    max_samples_per_ray: int  # S: static lattice length
+    capacity: int             # K: compacted sample-buffer length
+
+
+def max_lattice_samples(aabb, render_step_size, near_plane, far_plane,
+                        contraction_type, cone_angle,
+                        hard_cap=1024):
+    """Static bound S on the per-ray sample count.
+
+    For AABB contraction the ray segment inside the box is at most the box
+    diagonal; with the reference's `auto` step size
+    (sqrt(3) * max_extent / 1024, robust_e_nerf.py:220-228) this yields
+    exactly 1024.  For unbounded contractions near/far planes bound the
+    segment.  A positive cone angle turns the tail of the lattice geometric,
+    which only shrinks the count.
+    """
+    import numpy as np
+
+    aabb = np.asarray(aabb, dtype=np.float64)
+    if contraction_type == contraction_mod.AABB:
+        seg = float(np.linalg.norm(aabb[3:] - aabb[:3]))
+        if near_plane is not None and far_plane is not None:
+            seg = min(seg, far_plane - near_plane)
+    else:
+        assert near_plane is not None and far_plane is not None, (
+            "unbounded contractions need near/far planes"
+        )
+        seg = far_plane - near_plane
+    if cone_angle > 0.0:
+        near = near_plane if near_plane is not None else render_step_size
+        near = max(near, render_step_size)
+        far = near + seg
+        # linear until t * cone_angle > dt, then geometric
+        t_lin = render_step_size / cone_angle
+        n_lin = int(np.ceil(max(0.0, (min(t_lin, far) - near))
+                            / render_step_size)) + 1
+        if far > t_lin:
+            n_geo = int(np.ceil(np.log(far / max(t_lin, near))
+                                / np.log1p(cone_angle))) + 1
+        else:
+            n_geo = 0
+        count = n_lin + n_geo
+    else:
+        count = int(np.ceil(seg / render_step_size)) + 1
+    return int(min(count, hard_cap))
+
+
+def ray_aabb_intersect(origins, directions, aabb):
+    """Slab-method ray/AABB intersection -> (t_min, t_max), t_min >= 0."""
+    lo, hi = aabb[:3], aabb[3:]
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(directions) > 1e-10, directions,
+        jnp.where(directions >= 0, 1e-10, -1e-10),
+    )
+    t0 = (lo - origins) * inv_d
+    t1 = (hi - origins) * inv_d
+    t_min = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_max = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_min = jnp.maximum(t_min, 0.0)
+    return t_min, t_max
+
+
+def _sample_lattice(t_min, step0, spec: MarchSpec):
+    """t value of lattice sample i (vectorized over rays and samples).
+
+    cone_angle == 0: t_i = t_min + i * dt.
+    cone_angle > 0: step size max(t * cone, dt) — linear near the camera,
+    geometric afterwards (nerfacc's cone marching; cf. the occupancy update
+    closure at models/nerf.py:175-193).
+    """
+    num_samples = spec.max_samples_per_ray
+    i = jnp.arange(num_samples, dtype=jnp.float32)[None, :]  # (1, S)
+    dt = spec.render_step_size
+    if spec.cone_angle <= 0.0:
+        t = t_min[:, None] + (i + step0[:, None]) * dt
+        delta = jnp.full_like(t, dt)
+        return t, delta
+    cone = spec.cone_angle
+    start = t_min[:, None] + step0[:, None] * dt
+    t_lin = dt / cone  # below this, step = dt
+    n_lin = jnp.ceil(jnp.maximum(t_lin - start, 0.0) / dt)
+    t_linear = start + i * dt
+    geo_start = start + n_lin * dt
+    t_geo = geo_start * (1.0 + cone) ** jnp.maximum(i - n_lin, 0.0)
+    t = jnp.where(i < n_lin, t_linear, t_geo)
+    delta = jnp.maximum(t * cone, dt)
+    return t, delta
+
+
+def march_and_compact(
+    origins,            # (B, 3)
+    directions,         # (B, 3)
+    ray_valid,          # (B,) bool
+    occ_binary,         # (num_cells,) bool
+    aabb,               # (6,)
+    occ_spec: occupancy.OccGridSpec,
+    spec: MarchSpec,
+    key=None,           # stratified jitter when not None (training)
+):
+    """March all rays and compact surviving samples into the fixed buffer.
+
+    Returns a dict:
+      ray_idx   (K,) int32   source ray of each buffered sample
+      t_mid     (K,) f32     midpoint distance along the ray
+      delta     (K,) f32     step size (t_end - t_start)
+      valid     (K,) bool    buffer-slot validity
+      ray_first (B,) int32   buffer index of each ray's first sample
+      counts    (B,) int32   per-ray surviving-sample count
+      total     ()  int32    surviving samples before capacity clipping
+    """
+    num_rays = origins.shape[0]
+    num_samples = spec.max_samples_per_ray
+    capacity = spec.capacity
+
+    if spec.contraction_type == contraction_mod.AABB:
+        t_min, t_max = ray_aabb_intersect(origins, directions, aabb)
+    else:
+        t_min = jnp.zeros((num_rays,), jnp.float32)
+        t_max = jnp.full((num_rays,), jnp.inf, jnp.float32)
+    if spec.near_plane is not None:
+        t_min = jnp.maximum(t_min, spec.near_plane)
+    if spec.far_plane is not None:
+        t_max = jnp.minimum(t_max, spec.far_plane)
+
+    if key is not None:
+        step0 = jax.random.uniform(key, (num_rays,), dtype=jnp.float32)
+    else:
+        step0 = jnp.zeros((num_rays,), jnp.float32)
+
+    t_start, delta = _sample_lattice(t_min, step0, spec)     # (B, S)
+    t_mid = t_start + 0.5 * delta
+
+    positions = (
+        origins[:, None, :] + directions[:, None, :] * t_mid[..., None]
+    )  # (B, S, 3)
+    contracted = contraction_mod.contract(
+        positions, aabb, spec.contraction_type
+    )
+    occupied = occupancy.lookup(occ_binary, contracted, occ_spec)
+
+    in_range = (t_mid < t_max[:, None]) & (t_max[:, None] > t_min[:, None])
+    mask = in_range & occupied & ray_valid[:, None]           # (B, S)
+
+    # ---- global compaction (ray-major, marching order preserved) ----
+    flat_mask = mask.reshape(-1)
+    pos_in_buf = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+    total = pos_in_buf[-1] + 1
+    # out-of-capacity and masked-out candidates scatter to index `capacity`
+    # and are dropped
+    scatter_idx = jnp.where(flat_mask, pos_in_buf, capacity)
+
+    def compact(values, fill):
+        out = jnp.full((capacity,), fill, dtype=values.dtype)
+        return out.at[scatter_idx].set(
+            values, mode="drop", indices_are_sorted=False,
+            unique_indices=False,
+        )
+
+    ray_idx_flat = jnp.broadcast_to(
+        jnp.arange(num_rays, dtype=jnp.int32)[:, None],
+        (num_rays, num_samples),
+    ).reshape(-1)
+    buf = {
+        "ray_idx": compact(ray_idx_flat, jnp.int32(0)),
+        "t_mid": compact(t_mid.reshape(-1), jnp.float32(0)),
+        "delta": compact(delta.reshape(-1), jnp.float32(0)),
+        "valid": compact(flat_mask, False),
+    }
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    ray_first = jnp.cumsum(counts) - counts
+    buf["ray_first"] = ray_first
+    buf["counts"] = counts
+    buf["total"] = total
+    return buf
+
+
+def sample_positions(buf, origins, directions):
+    """World positions & directions of the buffered samples.
+
+    Differentiable w.r.t. `origins`/`directions` (gather), not w.r.t. the
+    t values (stop_gradient) — matching nerfacc's differentiability contract
+    (vol_rendering.py:37).
+    """
+    t = jax.lax.stop_gradient(buf["t_mid"])
+    o = origins[buf["ray_idx"]]
+    d = directions[buf["ray_idx"]]
+    return o + d * t[:, None], d

@@ -1,0 +1,69 @@
+"""Small tensor utilities shared across the framework.
+
+Counterpart of the reference `robust_e_nerf/utils/tensor_ops.py`, minus the
+quaternion code (which lives in `utils.quaternions`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def lerp(start, end, weight):
+    """torch.lerp semantics: start + weight * (end - start)."""
+    return start + weight * (end - start)
+
+
+def normalize_range(x, min, max):  # noqa: A002 - mirror reference signature
+    """(x - min) / (max - min) (tensor_ops.py:12-13)."""
+    return (x - min) / (max - min)
+
+
+def bool_mean(x):
+    """Mean of a boolean array as float (tensor_ops.py:16-17)."""
+    return jnp.mean(x.astype(jnp.float32))
+
+
+def randperm_manual_seed(n, seed):
+    """Seeded random permutation independent of global RNG state.
+
+    The reference uses `torch.randperm` with a dedicated generator
+    (tensor_ops.py:5-9); we use a dedicated NumPy generator.  Only determinism
+    across runs of *this* framework matters (the permutation emulates sparse
+    events via `train_dataset_perm_seed`).
+    """
+    rng = np.random.default_rng(seed)
+    return rng.permutation(n)
+
+
+def trunc_normal(low, high, size, mean, std, rng):
+    """Truncated normal via inverse-CDF of a uniform (samplers.py:33-85).
+
+    Host-side float64 sampling (the reference samples normalized supervision
+    timestamps in float64).  `rng` is a `np.random.Generator`.
+    """
+
+    def norm_cdf(x):
+        return (1.0 + math.erf(x / math.sqrt(2.0))) / 2.0
+
+    lo = norm_cdf((low - mean) / std)
+    hi = norm_cdf((high - mean) / std)
+    u = 2.0 * (hi - lo) * rng.random(size, dtype=np.float64) + (2.0 * lo - 1.0)
+    from scipy.special import erfinv
+
+    x = erfinv(u)
+    x = x * (std * math.sqrt(2.0)) + mean
+    return np.clip(x, low, high)
+
+
+def pixel_meshgrid(height, width, dtype=np.float32):
+    """(H, W, 2) grid of (x, y) pixel coordinates, xy-indexed
+    (robust_e_nerf.py:110-117)."""
+    xs, ys = np.meshgrid(
+        np.arange(width, dtype=dtype), np.arange(height, dtype=dtype),
+        indexing="xy",
+    )
+    return np.stack([xs, ys], axis=2)
