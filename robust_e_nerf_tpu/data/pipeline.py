@@ -1,0 +1,93 @@
+"""Fixed-shape training batch assembly (host side).
+
+The reference mutates the dataloader batch size every step to hold the total
+ray-sample count constant (robust_e_nerf.py:907-950, utils/datasets.py:20-32).
+Under XLA a changing batch shape would recompile, so the batcher emits
+*fixed-capacity* buffers: `capacity` rows, the first `batch_size` of which
+are real samples (`valid_mask`).  Masked rays march zero samples and are
+excluded from every mean, so the training dynamics are those of the dynamic
+batch size while the compiled program never changes shape.
+
+Timestamps: `start_ts` is float32 seconds re-based to the first pose time;
+`interval` is computed exactly on int64 nanoseconds before conversion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import camera_poses as poses_mod
+from . import samplers as samplers_mod
+
+
+class EventBatcher:
+    def __init__(self, events, t0_ns, capacity, rng, has_bayer,
+                 init_batch_size):
+        """Args:
+          events: transformed-event dict (int64-ns start/end timestamps)
+          t0_ns: re-basing origin (first pose timestamp)
+          capacity: static row count of every emitted batch
+          rng: np.random.Generator (already rank-offset for multi-process)
+          init_batch_size: initial dynamic batch size (<= capacity)
+        """
+        self.capacity = int(capacity)
+        self.rng = rng
+        self.has_bayer = has_bayer
+        self.batch_size = int(init_batch_size)
+        self.num_events = len(events["position"])
+        assert self.batch_size <= self.capacity
+
+        self.position = np.asarray(events["position"], np.float32)
+        self.start_ts = poses_mod.rebase_timestamps_ns(
+            events["start_ts"], t0_ns
+        ).astype(np.float32)
+        self.interval = poses_mod.intervals_seconds(
+            events["start_ts"], events["end_ts"]
+        ).astype(np.float32)
+        self.num_pos = np.asarray(events["num_pos"], np.float32)
+        self.num_neg = np.asarray(events["num_neg"], np.float32)
+        if has_bayer:
+            self.channel_idx = np.asarray(events["channel_idx"], np.int32)
+        self.samplers = samplers_mod.build_normalized_samplers(rng)
+
+    def set_batch_size(self, batch_size):
+        """The dynamic batch-size controller's entry point
+        (robust_e_nerf.py:940-948)."""
+        self.batch_size = int(np.clip(batch_size, 1, self.capacity))
+
+    def next_batch(self):
+        cap = self.capacity
+        idx = self.rng.integers(0, self.num_events, size=cap)
+        batch = {
+            "position": self.position[idx],
+            "start_ts": self.start_ts[idx],
+            "interval": self.interval[idx],
+            "num_pos": self.num_pos[idx],
+            "num_neg": self.num_neg[idx],
+            "valid": np.arange(cap) < self.batch_size,
+            "normalized_ts_diff": self.samplers["ts_diff"](cap).astype(
+                np.float32
+            ),
+            "normalized_diff_start_ts": self.samplers["diff_start_ts"](
+                cap
+            ).astype(np.float32),
+            "normalized_grad_ts": self.samplers["grad_ts"](cap).astype(
+                np.float32
+            ),
+        }
+        if self.has_bayer:
+            batch["channel_idx"] = self.channel_idx[idx]
+        return batch
+
+
+def trim_length(total_len, stage_dataset_ratio, stage_eff_batch_size):
+    """`*_dataset_ratio` semantics (datamodule.py:119-137): an int means
+    that many effective batches, a float a dataset fraction."""
+    if isinstance(stage_dataset_ratio, int) and not isinstance(
+        stage_dataset_ratio, bool
+    ):
+        subset_len = stage_dataset_ratio * stage_eff_batch_size
+        assert subset_len <= total_len
+        return subset_len
+    assert 0.0 < stage_dataset_ratio <= 1.0
+    return int(stage_dataset_ratio * total_len)
