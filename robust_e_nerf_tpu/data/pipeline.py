@@ -20,7 +20,35 @@ from . import camera_poses as poses_mod
 from . import samplers as samplers_mod
 
 
+def build_event_table(events, t0_ns, has_bayer):
+    """Transformed events -> fixed dtype arrays ready for device residency.
+
+    `start_ts` is f32 seconds re-based to t0; `interval` is exact int64
+    differencing converted to seconds (never re-derived from f32 times).
+    The table is what the jitted step gathers batches from (the streaming
+    fixed-shape pipeline of SURVEY.md section 5.7).
+    """
+    table = {
+        "position": np.asarray(events["position"], np.float32),
+        "start_ts": poses_mod.rebase_timestamps_ns(
+            events["start_ts"], t0_ns
+        ).astype(np.float32),
+        "interval": poses_mod.intervals_seconds(
+            events["start_ts"], events["end_ts"]
+        ).astype(np.float32),
+        "num_pos": np.asarray(events["num_pos"], np.float32),
+        "num_neg": np.asarray(events["num_neg"], np.float32),
+    }
+    if has_bayer:
+        table["channel_idx"] = np.asarray(events["channel_idx"], np.int32)
+    return table
+
+
 class EventBatcher:
+    """Host-side batch assembly — the fallback path for event tables too
+    large for device residency, and the reference semantics oracle for
+    tests."""
+
     def __init__(self, events, t0_ns, capacity, rng, has_bayer,
                  init_batch_size):
         """Args:
@@ -37,17 +65,14 @@ class EventBatcher:
         self.num_events = len(events["position"])
         assert self.batch_size <= self.capacity
 
-        self.position = np.asarray(events["position"], np.float32)
-        self.start_ts = poses_mod.rebase_timestamps_ns(
-            events["start_ts"], t0_ns
-        ).astype(np.float32)
-        self.interval = poses_mod.intervals_seconds(
-            events["start_ts"], events["end_ts"]
-        ).astype(np.float32)
-        self.num_pos = np.asarray(events["num_pos"], np.float32)
-        self.num_neg = np.asarray(events["num_neg"], np.float32)
+        table = build_event_table(events, t0_ns, has_bayer)
+        self.position = table["position"]
+        self.start_ts = table["start_ts"]
+        self.interval = table["interval"]
+        self.num_pos = table["num_pos"]
+        self.num_neg = table["num_neg"]
         if has_bayer:
-            self.channel_idx = np.asarray(events["channel_idx"], np.int32)
+            self.channel_idx = table["channel_idx"]
         self.samplers = samplers_mod.build_normalized_samplers(rng)
 
     def set_batch_size(self, batch_size):

@@ -1,0 +1,1 @@
+from . import checkpoint, model, optimizers, train, trainer  # noqa: F401

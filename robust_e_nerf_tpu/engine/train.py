@@ -1,0 +1,413 @@
+"""Jitted training / evaluation step functions (shard_map over the mesh).
+
+Counterpart of `RobustENeRF.training_step` (robust_e_nerf.py:301-517),
+`render_pixels` (:849-885) and `evaluation_step` (:533-571), re-designed as
+pure functions of (params, buffers, occupancy, batch, key):
+
+  * the l_grad derivative d(logI)/dt is a forward-mode `jax.jvp` with a unit
+    tangent on the supervision timestamps (1 tangent), replacing the
+    reference's double backprop (autograd.py:4-34 + create_graph=True);
+  * the step always runs under `shard_map` over a 1-D ("data",) mesh — a
+    single chip is just mesh size 1, so the multi-chip path is the only
+    path.  Each chip marches and compacts its own fixed-capacity sample
+    buffer; only scalar loss numerators/denominators cross the mesh (psum),
+    and parameter gradients are reduced by the transpose of replication;
+  * occupancy-grid updates are separate jitted functions driven by the host
+    loop (every-n cadence + warmup flag are host-known integers);
+  * all shapes are static; batch validity masks implement the reference's
+    dynamic batch size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..loss_metric import loss as loss_mod
+from ..models import event_model, nerf as nerf_mod, trajectory as traj_mod
+from ..parallel.mesh import DATA_AXIS
+from ..utils import tensor_ops
+from .model import ModelSpec
+
+
+def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
+                         pixel_pos, channel_idx, ts, ray_valid, key,
+                         march_spec):
+    """Render pixels at trajectory time(s) -> per-ray log intensity.
+
+    Mirrors render_pixels (robust_e_nerf.py:849-885) + bayering (:887-890)
+    + the log (:394, :432-433).  Returns
+    (log_intensity (B,), opacity (B,), n_visible (), is_valid (B,)).
+    """
+    position, rotation = traj_mod.interpolate_pose(buffers["trajectory"], ts)
+    origins, directions = nerf_mod.pixel_params_to_ray(
+        buffers["train_intrinsics_inv"], pixel_pos, position, rotation
+    )
+    radiance, opacity, _depth, n_visible, _total = nerf_mod.render_rays(
+        params["nerf"], occ_binary, buffers["aabb"], origins, directions,
+        ray_valid, spec.nerf, march_spec, key=key,
+    )
+    intensity = radiance + spec.min_modeled_intensity  # (B, C)
+    if spec.has_bayer:
+        intensity = jnp.take_along_axis(
+            intensity, channel_idx[:, None].astype(jnp.int32), axis=1
+        )[:, 0]
+    else:
+        intensity = intensity[:, 0]
+    log_intensity = jnp.log(intensity)
+    if spec.nerf.render_bkgd is None:
+        is_valid = opacity > 0
+    else:
+        is_valid = jnp.ones_like(opacity, dtype=bool)
+    return log_intensity, opacity, n_visible, is_valid
+
+
+def _psum(x, axis_name):
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name)
+
+
+def train_loss_fn(params, buffers, occ_binary, batch, key,
+                  spec: ModelSpec, axis_name=None):
+    """The full training loss (robust_e_nerf.py:301-486), per chip with
+    global (psum) reductions.  Returns (weighted total loss, aux dict)."""
+    loss_spec = spec.loss
+    valid = batch["valid"]
+    n_valid = jnp.maximum(
+        _psum(jnp.sum(valid, dtype=jnp.float32), axis_name), 1.0
+    )
+
+    # event correction (event_generation_params.py:72-84,196-203)
+    log_intensity_diff = event_model.apply_contrast_threshold(
+        params["contrast_threshold"], buffers["contrast_threshold"],
+        batch["num_pos"], batch["num_neg"],
+    )
+    start_ts, interval = event_model.apply_refractory_period(
+        params["refractory_period"], buffers["refractory_period"],
+        batch["start_ts"], batch["interval"],
+    )
+    end_ts = start_ts + interval
+    channel_idx = batch.get("channel_idx")
+
+    aux = {}
+    renders = []  # (n_visible, opacity, is_valid) triples for diagnostics
+    use_diff = loss_spec.weight_diff > 0
+    use_grad = loss_spec.weight_grad > 0
+
+    # supervision timestamps (robust_e_nerf.py:322-358)
+    if use_diff:
+        ts_diff = interval * batch["normalized_ts_diff"]
+        diff_start_ts = tensor_ops.lerp(
+            start_ts,
+            jnp.maximum(end_ts - ts_diff, start_ts),
+            batch["normalized_diff_start_ts"],
+        )
+        diff_end_ts = jnp.minimum(diff_start_ts + ts_diff, end_ts)
+
+    if use_grad:
+        if use_diff:
+            grad_base_start, grad_base_end = diff_start_ts, diff_end_ts
+        else:
+            grad_base_start, grad_base_end = start_ts, end_ts
+        grad_ts = tensor_ops.lerp(
+            grad_base_start, grad_base_end, batch["normalized_grad_ts"]
+        )
+
+    # target event gradient (loss.py:39-42)
+    target_grad = log_intensity_diff / interval
+
+    keys = jax.random.split(key, 3)
+    losses = {}
+
+    if use_grad:
+        def logI_at(ts):
+            return render_log_intensity(
+                params, buffers, occ_binary, spec, batch["position"],
+                channel_idx, ts, valid, keys[0], spec.nerf.march_train,
+            )
+
+        (logI_g, opacity_g, nvis_g, valid_g), tangents = jax.jvp(
+            logI_at, (grad_ts,), (jnp.ones_like(grad_ts),)
+        )
+        dlogI_dt = tangents[0]
+        del logI_g
+        losses["log_intensity_grad"] = loss_mod.log_intensity_grad_loss(
+            loss_spec, dlogI_dt, target_grad, valid_g & valid, axis_name
+        )
+        renders.append((nvis_g, opacity_g, valid_g))
+
+    if use_diff:
+        logI_s, opacity_s, nvis_s, valid_s = render_log_intensity(
+            params, buffers, occ_binary, spec, batch["position"],
+            channel_idx, diff_start_ts, valid, keys[1],
+            spec.nerf.march_train,
+        )
+        logI_e, opacity_e, nvis_e, valid_e = render_log_intensity(
+            params, buffers, occ_binary, spec, batch["position"],
+            channel_idx, diff_end_ts, valid, keys[2],
+            spec.nerf.march_train,
+        )
+        pred_diff = logI_e - logI_s
+        is_valid_diff = valid_s | valid_e  # robust_e_nerf.py:442-443
+        losses["log_intensity_diff"] = loss_mod.log_intensity_diff_loss(
+            loss_spec, pred_diff, ts_diff, target_grad,
+            is_valid_diff & valid, axis_name,
+        )
+        renders.append((nvis_s, opacity_s, valid_s))
+        renders.append((nvis_e, opacity_e, valid_e))
+
+    # parameter-normalized loss terms (robust_e_nerf.py:467-486)
+    _, _, mean_ct = event_model.contrast_thresholds(
+        params["contrast_threshold"], buffers["contrast_threshold"]
+    )
+    pw = {
+        "log_intensity_grad": loss_spec.param_weight_grad,
+        "log_intensity_diff": loss_spec.param_weight_diff,
+    }
+    weight = {
+        "log_intensity_grad": loss_spec.weight_grad,
+        "log_intensity_diff": loss_spec.weight_diff,
+    }
+    total = 0.0
+    for name, value in losses.items():
+        normalized = value * loss_mod.param_weight_value(pw[name], mean_ct)
+        aux[f"loss/{name}"] = normalized
+        total = total + weight[name] * normalized
+
+    # diagnostics (robust_e_nerf.py:500-515); n_visible counts are per-chip
+    # -> psum for the global mean samples per ray
+    mean_samples = sum(
+        _psum(nvis.astype(jnp.float32), axis_name) / n_valid
+        for nvis, _, _ in renders
+    ) / len(renders)
+    occ_rate = sum(
+        loss_mod.masked_mean((op > 0).astype(jnp.float32), valid, axis_name)
+        for _, op, _ in renders
+    ) / len(renders)
+    valid_rate = sum(
+        loss_mod.masked_mean(v.astype(jnp.float32), valid, axis_name)
+        for _, _, v in renders
+    ) / len(renders)
+    aux["loss/total"] = total
+    aux["mean_num_samples_per_ray"] = mean_samples
+    aux["mean_ray_occ_rate"] = occ_rate
+    aux["mean_valid_rate"] = valid_rate
+    aux["p2n_contrast_threshold_ratio"] = event_model.p2n_ratio(
+        params["contrast_threshold"]
+    )
+    aux["refractory_period"] = event_model.refractory_period(
+        params["refractory_period"], buffers["refractory_period"]
+    )
+    return total, aux
+
+
+def _device_trunc_normal(key, shape, low, high, mean, std):
+    """Truncated normal via inverse-CDF (samplers.py:33-85), on device."""
+    import math
+
+    def norm_cdf(x):
+        return (1.0 + math.erf(x / math.sqrt(2.0))) / 2.0
+
+    lo = norm_cdf((low - mean) / std)
+    hi = norm_cdf((high - mean) / std)
+    u = jax.random.uniform(
+        key, shape, minval=2.0 * lo - 1.0, maxval=2.0 * hi - 1.0
+    )
+    x = jax.scipy.special.erfinv(u) * (std * math.sqrt(2.0)) + mean
+    return jnp.clip(x, low, high)
+
+
+def sample_device_batch(event_table, key, local_capacity, has_bayer):
+    """Sample a fixed-capacity event batch entirely on device.
+
+    The event table (the transformed-event arrays, data/pipeline.py) lives
+    in HBM, replicated; each chip gathers its own random rows.  This is the
+    streaming fixed-shape host->device pipeline of SURVEY.md section 5.7 —
+    with zero per-step host involvement, which matters doubly when the host
+    link has high latency.
+    """
+    k_idx, k_u, k_tn = jax.random.split(key, 3)
+    n_events = event_table["position"].shape[0]
+    idx = jax.random.randint(k_idx, (local_capacity,), 0, n_events)
+    batch = {
+        "position": event_table["position"][idx],
+        "start_ts": event_table["start_ts"][idx],
+        "interval": event_table["interval"][idx],
+        "num_pos": event_table["num_pos"][idx],
+        "num_neg": event_table["num_neg"][idx],
+        # normalized supervision samplers (datamodule.py:149-196)
+        "normalized_ts_diff": jnp.ones((local_capacity,), jnp.float32),
+        "normalized_diff_start_ts": jax.random.uniform(
+            k_u, (local_capacity,), dtype=jnp.float32
+        ),
+        "normalized_grad_ts": _device_trunc_normal(
+            k_tn, (local_capacity,), 0.0, 1.0, 0.5, 0.25
+        ).astype(jnp.float32),
+    }
+    if has_bayer:
+        batch["channel_idx"] = event_table["channel_idx"][idx]
+    return batch
+
+
+def make_train_step(spec: ModelSpec, optimizer, mesh,
+                    sample_budget, init_batch_size):
+    """Build the jitted train step.
+
+    Everything — event sampling, loss, gradients, the optimizer update, the
+    tau projection, and the dynamic batch-size controller — runs on device;
+    the returned function's only per-step host traffic is the dispatch.
+    The controller state `ctrl` carries {step, batch_size} as device
+    scalars; batch_size retargets to budget / mean-samples-per-ray exactly
+    like the reference (robust_e_nerf.py:907-950), with its one-step
+    (prefetch) delay arising naturally because this step's batch was sized
+    by the previous step's statistics.
+    """
+    from jax import shard_map
+
+    num_chips = mesh.size
+    local_capacity = spec.batch_capacity
+    local_budget = sample_budget // num_chips
+
+    def global_loss(params, buffers, event_table, occ_binary, batch_size,
+                    key):
+        def per_chip(params, buffers, event_table, occ_binary, batch_size,
+                     key):
+            chip = jax.lax.axis_index(DATA_AXIS)
+            key = jax.random.fold_in(key, chip)
+            k_batch, k_loss = jax.random.split(key)
+            batch = sample_device_batch(
+                event_table, k_batch, local_capacity, spec.has_bayer
+            )
+            # balanced split of the global dynamic batch size over chips
+            local_count = batch_size // num_chips + (
+                chip < batch_size % num_chips
+            )
+            batch["valid"] = (
+                jnp.arange(local_capacity, dtype=jnp.int32) < local_count
+            )
+            return train_loss_fn(
+                params, buffers, occ_binary, batch, k_loss, spec,
+                axis_name=DATA_AXIS,
+            )
+
+        return shard_map(
+            per_chip,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+        )(params, buffers, event_table, occ_binary, batch_size, key)
+
+    @jax.jit
+    def train_step(params, opt_state, ctrl, buffers, event_table,
+                   occ_binary, base_key):
+        key = jax.random.fold_in(base_key, ctrl["step"])
+        (loss, aux), grads = jax.value_and_grad(
+            global_loss, has_aux=True
+        )(params, buffers, event_table, occ_binary, ctrl["batch_size"],
+          key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        # tau logit projection (event_generation_params.py:170-185)
+        params["refractory_period"]["raw_tau"] = event_model.clamp_raw_tau(
+            params["refractory_period"]["raw_tau"],
+            buffers["refractory_period"]["max_refractory_period"],
+        )
+        # dynamic batch-size controller (robust_e_nerf.py:940-948)
+        mean_samples = aux["mean_num_samples_per_ray"]
+        new_batch_size = jnp.where(
+            mean_samples > 0,
+            (local_budget * num_chips / jnp.maximum(mean_samples, 1e-6))
+            .astype(jnp.int32),
+            ctrl["batch_size"],
+        )
+        ctrl = {
+            "step": ctrl["step"] + 1,
+            "batch_size": jnp.clip(
+                new_batch_size, 1, local_capacity * num_chips
+            ),
+        }
+        aux["batch_size"] = ctrl["batch_size"]
+        return params, opt_state, ctrl, loss, aux
+
+    return train_step
+
+
+def init_controller_state(init_batch_size):
+    return {
+        "step": jnp.int32(0),
+        "batch_size": jnp.int32(init_batch_size),
+    }
+
+
+def make_occ_update(spec: ModelSpec, warmup: bool):
+    """Jitted occupancy-grid update (warmup and post-warmup variants).
+    Runs replicated — it is ~1/16 of a step's work at every-16 cadence."""
+
+    @jax.jit
+    def occ_update(params, buffers, occ_state, key):
+        return nerf_mod.update_occ_grid(
+            params["nerf"], occ_state, key, 0, buffers["aabb"], spec.nerf,
+            trajectory_positions=buffers["trajectory"]["position"],
+            warmup=warmup,
+        )
+
+    return occ_update
+
+
+def make_eval_chunk_fn(spec: ModelSpec):
+    """Jitted chunk renderer for full-image evaluation
+    (robust_e_nerf.py:533-571 + external/utils.py:99-105)."""
+
+    @jax.jit
+    def eval_chunk(params, buffers, occ_binary, intrinsics_inv, pixel_pos,
+                   position, rotation, chunk_valid):
+        num = pixel_pos.shape[0]
+        pos = jnp.broadcast_to(position, (num, 3))
+        rot = jnp.broadcast_to(rotation, (num, 3, 3))
+        origins, directions = nerf_mod.pixel_params_to_ray(
+            intrinsics_inv, pixel_pos, pos, rot
+        )
+        radiance, opacity, _depth, _nvis, total = nerf_mod.render_rays(
+            params["nerf"], occ_binary, buffers["aabb"], origins,
+            directions, chunk_valid, spec.nerf, spec.nerf.march_eval,
+            key=None,
+        )
+        intensity = radiance + spec.min_modeled_intensity
+        return intensity, opacity, total
+
+    return eval_chunk
+
+
+def render_image(params, buffers, occ_binary, spec: ModelSpec,
+                 eval_chunk_fn, intrinsics_inv, img_pixel_pos, position,
+                 rotation):
+    """Full-image render via host-chunked jitted calls.
+
+    Returns (intensity (H, W, C) np.ndarray, overflow_samples int)."""
+    import numpy as np
+
+    height, width = img_pixel_pos.shape[:2]
+    flat_pix = img_pixel_pos.reshape(-1, 2)
+    num_rays = flat_pix.shape[0]
+    chunk = spec.nerf.test_chunk_size
+    pad = (-num_rays) % chunk
+    if pad:
+        flat_pix = np.concatenate(
+            [flat_pix, np.zeros((pad, 2), flat_pix.dtype)], axis=0
+        )
+    valid_all = np.arange(num_rays + pad) < num_rays
+
+    outs = []
+    overflow = 0
+    for i in range(0, num_rays + pad, chunk):
+        intensity, _opacity, total = eval_chunk_fn(
+            params, buffers, occ_binary, jnp.asarray(intrinsics_inv),
+            jnp.asarray(flat_pix[i:i + chunk]), jnp.asarray(position),
+            jnp.asarray(rotation), jnp.asarray(valid_all[i:i + chunk]),
+        )
+        overflow += max(0, int(total) - spec.nerf.march_eval.capacity)
+        outs.append(np.asarray(intensity))
+    img = np.concatenate(outs, axis=0)[:num_rays]
+    return img.reshape(height, width, -1), overflow

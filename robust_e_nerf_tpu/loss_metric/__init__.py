@@ -1,0 +1,1 @@
+from . import alignment, loss, lpips_jax, metric  # noqa: F401

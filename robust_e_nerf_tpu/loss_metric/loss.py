@@ -1,0 +1,95 @@
+"""Training losses (device side, pure functions).
+
+Counterpart of `loss_metric/loss.py` (class Loss):
+
+  target event gradient = log_intensity_diff / (end_ts - start_ts)   (:39-42)
+  l_grad = mean over valid rays of err(d logI / dt, target grad)     (:54-62)
+  l_diff = mean over valid rays of err(logI(end) - logI(start),
+                                        ts_diff * target grad)       (:64-74)
+
+Validity masks combine the reference's per-ray `is_valid` (opacity > 0 when
+no background parameter, robust_e_nerf.py:868-871) with the fixed-capacity
+batch mask (padded rays never contribute).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ..utils import transforms
+
+LOSS_NAMES = ("log_intensity_grad", "log_intensity_diff")
+PARAM_WEIGHT_CHOICES = (
+    None, "mean_contrast_reciprocal", "mean_contrast_reciprocal_sq"
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossSpec:
+    weight_grad: float
+    weight_diff: float
+    error_fn_grad: str  # l1 | mse | mape
+    error_fn_diff: str
+    param_weight_grad: Optional[str]
+    param_weight_diff: Optional[str]
+
+    def __post_init__(self):
+        assert self.weight_grad >= 0 and self.weight_diff >= 0
+        assert self.weight_grad + self.weight_diff > 0
+        assert self.error_fn_grad in transforms.ERROR_FNS
+        assert self.error_fn_diff in transforms.ERROR_FNS
+        assert self.param_weight_grad in PARAM_WEIGHT_CHOICES
+        assert self.param_weight_diff in PARAM_WEIGHT_CHOICES
+
+
+def build_loss_spec(loss_config) -> LossSpec:
+    return LossSpec(
+        weight_grad=float(loss_config["weight"]["log_intensity_grad"]),
+        weight_diff=float(loss_config["weight"]["log_intensity_diff"]),
+        error_fn_grad=loss_config["error_fn"]["log_intensity_grad"],
+        error_fn_diff=loss_config["error_fn"]["log_intensity_diff"],
+        param_weight_grad=loss_config["param_weight"]["log_intensity_grad"],
+        param_weight_diff=loss_config["param_weight"]["log_intensity_diff"],
+    )
+
+
+def masked_mean(values, mask, axis_name=None):
+    """Mean over valid entries; with `axis_name`, numerator and denominator
+    are `psum`-reduced so the mean is global across the device mesh."""
+    mask = mask.astype(values.dtype)
+    num = jnp.sum(jnp.where(mask > 0, values, 0.0))
+    den = jnp.sum(mask)
+    if axis_name is not None:
+        import jax
+
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
+
+
+def log_intensity_grad_loss(spec: LossSpec, pred_grad, target_grad,
+                            is_valid, axis_name=None):
+    err = transforms.ERROR_FNS[spec.error_fn_grad](pred_grad, target_grad)
+    return masked_mean(err, is_valid, axis_name)
+
+
+def log_intensity_diff_loss(spec: LossSpec, pred_diff, ts_diff, target_grad,
+                            is_valid, axis_name=None):
+    err = transforms.ERROR_FNS[spec.error_fn_diff](
+        pred_diff, ts_diff * target_grad
+    )
+    return masked_mean(err, is_valid, axis_name)
+
+
+def param_weight_value(name, mean_contrast_threshold):
+    """Loss normalization by the mean contrast threshold
+    (robust_e_nerf.py:470-479)."""
+    if name is None:
+        return 1.0
+    recip = 1.0 / mean_contrast_threshold
+    if name == "mean_contrast_reciprocal":
+        return recip
+    return recip**2

@@ -6,18 +6,16 @@ This is the TPU-native answer to "test multi-node without a cluster"
 without TPU hardware.
 """
 
-import os
+import jax
+import numpy as np
+import pytest
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
+# Force the CPU backend with 8 virtual devices.  NOTE: the JAX_PLATFORMS
+# env var is not sufficient here — this environment ships an experimental
+# TPU platform plugin ("axon") that wins unless the config is set before
+# first backend use.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # persistent compilation cache: repeated pytest runs skip recompiles
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

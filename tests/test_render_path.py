@@ -1,0 +1,235 @@
+"""Ray marching + compositing vs closed-form volume rendering oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robust_e_nerf_tpu.models import contraction, occupancy
+from robust_e_nerf_tpu.ops import composite as comp
+from robust_e_nerf_tpu.ops import ray_march
+
+AABB = np.array([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0], np.float32)
+
+
+def make_occ_spec(res=16):
+    return occupancy.build_spec(
+        {"resolution": res, "occ_thre": 0.01, "ema_decay": 0.95,
+         "warmup_steps": 1, "n": 1},
+        contraction.AABB,
+    )
+
+
+def march(origins, directions, occ_binary, spec, occ_spec, key=None,
+          valid=None):
+    if valid is None:
+        valid = jnp.ones(origins.shape[0], bool)
+    return ray_march.march_and_compact(
+        jnp.asarray(origins), jnp.asarray(directions), valid,
+        jnp.asarray(occ_binary), jnp.asarray(AABB), occ_spec, spec,
+        key=key,
+    )
+
+
+def test_march_uniform_lattice_counts():
+    """Fully occupied grid: sample count equals the in-AABB segment length
+    over dt (rays along +x through the box center)."""
+    occ_spec = make_occ_spec()
+    dt = 0.05
+    spec = ray_march.MarchSpec(
+        contraction_type=contraction.AABB, render_step_size=dt,
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=64, capacity=1024,
+    )
+    origins = np.array([[-2.0, 0.0, 0.0], [-2.0, 0.0, 0.0]], np.float32)
+    directions = np.array([[1.0, 0, 0], [1.0, 0, 0]], np.float32)
+    occ = np.ones(occ_spec.num_cells, bool)
+    buf = march(origins, directions, occ, spec, occ_spec)
+    # segment through the box is 2.0 long -> 2.0/dt = 40 samples per ray
+    counts = np.asarray(buf["counts"])
+    assert np.all(np.abs(counts - 40) <= 1)
+    assert int(buf["total"]) == counts.sum()
+    # samples are ray-major and in marching order
+    t_mid = np.asarray(buf["t_mid"])
+    valid = np.asarray(buf["valid"])
+    ray_idx = np.asarray(buf["ray_idx"])
+    first_ray = t_mid[valid & (ray_idx == 0)]
+    assert np.all(np.diff(first_ray) > 0)
+
+
+def test_march_respects_occupancy():
+    """Only the occupied half-space x > 0 should be sampled."""
+    occ_spec = make_occ_spec(res=8)
+    dt = 0.05
+    spec = ray_march.MarchSpec(
+        contraction_type=contraction.AABB, render_step_size=dt,
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=64, capacity=512,
+    )
+    # cells with x-coordinate in the upper half
+    res = occ_spec.resolution
+    occ = np.zeros(res, bool)
+    occ[res[0] // 2:, :, :] = True
+    origins = np.array([[-2.0, 0.05, 0.05]], np.float32)
+    directions = np.array([[1.0, 0, 0]], np.float32)
+    buf = march(origins, directions, occ.reshape(-1), spec, occ_spec)
+    valid = np.asarray(buf["valid"])
+    t_mid = np.asarray(buf["t_mid"])[valid]
+    positions = origins[0] + directions[0] * t_mid[:, None]
+    assert np.all(positions[:, 0] > -1e-6)
+    assert len(t_mid) >= 15  # roughly half of the 40-sample segment
+
+
+def test_march_ray_valid_mask():
+    occ_spec = make_occ_spec()
+    spec = ray_march.MarchSpec(
+        contraction_type=contraction.AABB, render_step_size=0.1,
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=32, capacity=128,
+    )
+    origins = np.tile(np.array([[-2.0, 0, 0]], np.float32), (2, 1))
+    directions = np.tile(np.array([[1.0, 0, 0]], np.float32), (2, 1))
+    occ = np.ones(occ_spec.num_cells, bool)
+    buf = march(origins, directions, occ, spec, occ_spec,
+                valid=jnp.asarray([True, False]))
+    counts = np.asarray(buf["counts"])
+    assert counts[0] > 0 and counts[1] == 0
+
+
+def test_composite_constant_density_closed_form():
+    """Constant density sigma: opacity = 1 - exp(-sigma * L), radiance =
+    color * opacity, depth = analytic expected termination."""
+    occ_spec = make_occ_spec()
+    dt = 0.002
+    spec = ray_march.MarchSpec(
+        contraction_type=contraction.AABB, render_step_size=dt,
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=1024, capacity=4096,
+    )
+    origins = np.array([[-2.0, 0.0, 0.0]], np.float32)
+    directions = np.array([[1.0, 0.0, 0.0]], np.float32)
+    occ = np.ones(occ_spec.num_cells, bool)
+    buf = march(origins, directions, occ, spec, occ_spec)
+
+    sigma_val, color_val = 1.7, 0.6
+    sigma = jnp.full((spec.capacity,), sigma_val)
+    radiance = jnp.full((spec.capacity, 1), color_val)
+    colors, opacity, depth, n_vis = comp.composite(
+        sigma, radiance, buf, 1, early_stop_eps=0.0, alpha_thre=0.0
+    )
+    length = 2.0  # chord length through the box
+    expected_opacity = 1 - np.exp(-sigma_val * length)
+    np.testing.assert_allclose(float(opacity[0]), expected_opacity,
+                               rtol=1e-3)
+    np.testing.assert_allclose(float(colors[0, 0]),
+                               color_val * expected_opacity, rtol=1e-3)
+    # expected termination distance: int t sigma e^{-sigma(t-t0)} dt
+    t0 = 1.0  # entry at x=-1 from origin x=-2
+    expected_depth = (
+        t0 * expected_opacity
+        + (1 / sigma_val) * (1 - np.exp(-sigma_val * length))
+        - length * np.exp(-sigma_val * length)
+    )
+    np.testing.assert_allclose(float(depth[0]), expected_depth, rtol=5e-3)
+
+
+def test_composite_background_and_early_stop():
+    occ_spec = make_occ_spec()
+    spec = ray_march.MarchSpec(
+        contraction_type=contraction.AABB, render_step_size=0.01,
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=512, capacity=1024,
+    )
+    origins = np.array([[-2.0, 0, 0]], np.float32)
+    directions = np.array([[1.0, 0, 0]], np.float32)
+    occ = np.ones(occ_spec.num_cells, bool)
+    buf = march(origins, directions, occ, spec, occ_spec)
+    sigma = jnp.full((spec.capacity,), 50.0)  # essentially opaque
+    radiance = jnp.full((spec.capacity, 1), 0.3)
+    bkgd = jnp.asarray([0.9])
+    colors, opacity, _, n_vis = comp.composite(
+        sigma, radiance, buf, 1, render_bkgd=bkgd, early_stop_eps=1e-4,
+        alpha_thre=0.0,
+    )
+    np.testing.assert_allclose(float(opacity[0]), 1.0, atol=1e-4)
+    np.testing.assert_allclose(float(colors[0, 0]), 0.3, atol=1e-3)
+    # early stop: far fewer samples marked visible than marched
+    assert int(n_vis) < int(buf["total"])
+
+
+def test_composite_gradients_flow_to_sigma_and_rgb():
+    occ_spec = make_occ_spec()
+    spec = ray_march.MarchSpec(
+        contraction_type=contraction.AABB, render_step_size=0.05,
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=64, capacity=256,
+    )
+    origins = np.array([[-2.0, 0, 0]], np.float32)
+    directions = np.array([[1.0, 0, 0]], np.float32)
+    occ = np.ones(occ_spec.num_cells, bool)
+    buf = march(origins, directions, occ, spec, occ_spec)
+
+    def f(sigma_scalar):
+        sigma = jnp.full((spec.capacity,), sigma_scalar)
+        radiance = jnp.full((spec.capacity, 1), 0.5)
+        colors, _, _, _ = comp.composite(
+            sigma, radiance, buf, 1, early_stop_eps=0.0, alpha_thre=0.0
+        )
+        return colors[0, 0]
+
+    g = jax.grad(f)(1.0)
+    eps = 1e-3
+    fd = (f(1.0 + eps) - f(1.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-2)
+
+
+def test_stratified_jitter_changes_samples():
+    occ_spec = make_occ_spec()
+    spec = ray_march.MarchSpec(
+        contraction_type=contraction.AABB, render_step_size=0.1,
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=32, capacity=64,
+    )
+    origins = np.array([[-2.0, 0, 0]], np.float32)
+    directions = np.array([[1.0, 0, 0]], np.float32)
+    occ = np.ones(occ_spec.num_cells, bool)
+    buf1 = march(origins, directions, occ, spec, occ_spec,
+                 key=jax.random.PRNGKey(1))
+    buf2 = march(origins, directions, occ, spec, occ_spec,
+                 key=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(buf1["t_mid"]),
+                           np.asarray(buf2["t_mid"]))
+
+
+@pytest.mark.parametrize("cone_angle", [0.004])
+def test_cone_marching_step_growth(cone_angle):
+    occ_spec = make_occ_spec()
+    spec = ray_march.MarchSpec(
+        contraction_type=contraction.SPHERE, render_step_size=0.01,
+        near_plane=0.1, far_plane=10.0, cone_angle=cone_angle,
+        max_samples_per_ray=ray_march.max_lattice_samples(
+            AABB, 0.01, 0.1, 10.0, contraction.SPHERE, cone_angle
+        ),
+        capacity=8192,
+    )
+    origins = np.array([[0.0, 0, 0]], np.float32)
+    directions = np.array([[1.0, 0, 0]], np.float32)
+    occ = np.ones(occ_spec.num_cells, bool)
+    occ_spec_sphere = occupancy.build_spec(
+        {"resolution": 16, "occ_thre": 0.01, "ema_decay": 0.95,
+         "warmup_steps": 1, "n": 1},
+        contraction.SPHERE,
+    )
+    buf = ray_march.march_and_compact(
+        jnp.asarray(origins), jnp.asarray(directions),
+        jnp.ones(1, bool), jnp.asarray(occ), jnp.asarray(AABB),
+        occ_spec_sphere, spec, key=None,
+    )
+    valid = np.asarray(buf["valid"])
+    t = np.asarray(buf["t_mid"])[valid]
+    deltas = np.asarray(buf["delta"])[valid]
+    # far samples must take larger steps (geometric growth)
+    assert deltas[-1] > deltas[0]
+    assert t[-1] <= 10.0 + 0.5
+    # step never below dt
+    assert np.all(deltas >= 0.01 - 1e-6)
