@@ -182,6 +182,7 @@ def generate_dataset(
     p2n_ratio=1.0,
     fov_deg=60.0,
     speed_wobble=0.0,
+    revolutions=1.0,
     log_eps=1e-3,
     seed=0,
 ):
@@ -201,11 +202,14 @@ def generate_dataset(
     # ---- camera pose samples (the continuous trajectory's knots) ----
     from scipy.spatial.transform import Rotation
 
+    def theta_of(t):
+        return orbit_theta(t, duration_s, revolutions=revolutions,
+                           speed_wobble=speed_wobble)
+
     pose_ts = np.linspace(0.0, duration_s, num_pose_samples)
     positions, quats = [], []
     for t in pose_ts:
-        pos, rot = orbit_pose(orbit_theta(t, duration_s,
-                                          speed_wobble=speed_wobble))
+        pos, rot = orbit_pose(theta_of(t))
         positions.append(pos)
         quats.append(Rotation.from_matrix(rot).as_quat())
     # hemisphere-align quaternions for clean interpolation
@@ -224,8 +228,7 @@ def generate_dataset(
     sim_ts = np.linspace(0.0, duration_s, num_sim_frames)
     log_frames = np.empty((num_sim_frames, img_height * img_width))
     for k, t in enumerate(sim_ts):
-        pos, rot = orbit_pose(orbit_theta(t, duration_s,
-                                          speed_wobble=speed_wobble))
+        pos, rot = orbit_pose(theta_of(t))
         img, _ = render_linear(pos, rot, intrinsics_inv, img_width,
                                img_height)
         log_frames[k] = np.log(img + log_eps).reshape(-1)
@@ -300,9 +303,8 @@ def generate_dataset(
                 f,
             )
 
-    train_thetas = orbit_theta(
-        np.linspace(0.05, 0.95, num_train_views) * duration_s, duration_s,
-        speed_wobble=speed_wobble,
+    train_thetas = theta_of(
+        np.linspace(0.05, 0.95, num_train_views) * duration_s
     )
     write_views("train", train_thetas, np.full(num_train_views, 0.55))
     write_views(

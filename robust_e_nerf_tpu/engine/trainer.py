@@ -84,11 +84,22 @@ class Trainer:
             name: bool(config["model"][name]["load_state_dict"])
             for name in ckpt_mod.MODEL_COMPONENTS
         }
+        self._pending_occ_restore = None
         if any(load_flags.values()):
-            self.model.params = ckpt_mod.load_model_components(
-                config["model"]["checkpoint_filepath"], self.model.params,
-                load_flags,
+            ckpt_flat = ckpt_mod.load_checkpoint_flat(
+                config["model"]["checkpoint_filepath"]
             )
+            for component in ckpt_mod.MODEL_COMPONENTS:
+                if load_flags[component]:
+                    self.model.params = ckpt_mod.restore_component(
+                        ckpt_flat, self.model.params, component
+                    )
+                    print(f'Loaded the state of "{component}" from '
+                          'checkpoint!')
+            # the occupancy grid is part of the nerf component's state (the
+            # reference persists it as nerf.occupancy_grid buffers)
+            if load_flags["nerf"]:
+                self._pending_occ_restore = ckpt_flat
 
         steps_per_epoch = int(trainer_cfg["limit_train_batches"])
         self.steps_per_epoch = steps_per_epoch
@@ -113,6 +124,14 @@ class Trainer:
         self.eval_chunk_fn = train_mod.make_eval_chunk_fn(spec)
 
         self.occ_state = occupancy.init_state(spec.nerf.occ)
+        if self._pending_occ_restore is not None:
+            self.occ_state = ckpt_mod.restore_occ_state(
+                self._pending_occ_restore, jax.device_get(self.occ_state)
+            )
+            self.occ_state = jax.tree_util.tree_map(
+                jax.numpy.asarray, self.occ_state
+            )
+            self._pending_occ_restore = None
         self.global_step = 0
         self.current_epoch = 0
 

@@ -115,9 +115,16 @@ def build_refractory_period(calibrated_refractory_period,
 def clamp_raw_tau(raw_tau, max_tau):
     """Clamp the scaled logit so the sigmoid gradient does not vanish
     (event_generation_params.py:170-185).  Applied as a projection after
-    every optimizer update and before every read."""
+    every optimizer update and before every read.
+
+    Implemented with `where` instead of `clip`: jnp.clip halves the
+    gradient exactly at the boundary (max/min tie convention), whereas
+    torch's clamp passes the full gradient there — and after the projection
+    the parameter sits exactly on the boundary.
+    """
     bound = max_tau * MAX_SCALED_LOGIT_MAGNITUDE
-    return jnp.clip(raw_tau, -bound, bound)
+    clamped = jnp.where(raw_tau < -bound, -bound, raw_tau)
+    return jnp.where(clamped > bound, bound, clamped)
 
 
 def refractory_period(params, buffers):

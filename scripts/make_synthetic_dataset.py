@@ -20,6 +20,7 @@ def main():
     parser.add_argument("--contrast-threshold", type=float, default=0.2)
     parser.add_argument("--p2n-ratio", type=float, default=1.0)
     parser.add_argument("--speed-wobble", type=float, default=0.0)
+    parser.add_argument("--revolutions", type=float, default=1.0)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
     synthetic.generate_dataset(
@@ -32,6 +33,7 @@ def main():
         contrast_threshold=args.contrast_threshold,
         p2n_ratio=args.p2n_ratio,
         speed_wobble=args.speed_wobble,
+        revolutions=args.revolutions,
         seed=args.seed,
     )
     print(f"dataset written to {args.out_dir}")
