@@ -36,6 +36,7 @@ GROUP_OTHER = "other"
 # for the vanilla arch it is the whole NerfMLP.
 _NERF_MLP_SUBTREES = (
     "hash", "mlp_base", "mlp_head",            # ngp
+    "vm",                                       # tensorf (TPU fast path)
     "trunk", "sigma_layer", "bottleneck", "rgb_layer",  # vanilla
 )
 

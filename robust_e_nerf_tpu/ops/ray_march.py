@@ -189,36 +189,52 @@ def march_and_compact(
     in_range = (t_mid < t_max[:, None]) & (t_max[:, None] > t_min[:, None])
     mask = in_range & occupied & ray_valid[:, None]           # (B, S)
 
-    # ---- global compaction (ray-major, marching order preserved) ----
-    flat_mask = mask.reshape(-1)
-    pos_in_buf = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
-    total = pos_in_buf[-1] + 1
-    # out-of-capacity and masked-out candidates scatter to index `capacity`
-    # and are dropped
-    scatter_idx = jnp.where(flat_mask, pos_in_buf, capacity)
+    # ---- gather-based compaction (ray-major, marching order) ----
+    # Work is O(B*S) elementwise + per-row scans plus O(K log S) gathers;
+    # no scatters and no flat B*S-length scan (both are slow on TPU).
+    within = jnp.cumsum(mask.astype(jnp.int32), axis=1)      # (B, S)
+    counts = within[:, -1]                                   # (B,)
+    ends = jnp.cumsum(counts)                                # (B,) inclusive
+    starts = ends - counts
+    total = ends[-1]
 
-    def compact(values, fill):
-        out = jnp.full((capacity,), fill, dtype=values.dtype)
-        return out.at[scatter_idx].set(
-            values, mode="drop", indices_are_sorted=False,
-            unique_indices=False,
-        )
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    # source ray of each output slot: first ray whose cumulative end
+    # exceeds the slot index (zero-count rays are skipped by side="right")
+    ray_idx = jnp.searchsorted(ends, slot, side="right").astype(jnp.int32)
+    ray_idx = jnp.minimum(ray_idx, num_rays - 1)
+    ordinal = slot - starts[ray_idx]                         # j-th kept sample
 
-    ray_idx_flat = jnp.broadcast_to(
-        jnp.arange(num_rays, dtype=jnp.int32)[:, None],
-        (num_rays, num_samples),
-    ).reshape(-1)
+    # lower_bound: smallest s with within[ray, s] == ordinal + 1
+    within_flat = within.reshape(-1)
+    target = ordinal + 1
+    lo = jnp.zeros((capacity,), jnp.int32)
+    hi = jnp.full((capacity,), num_samples - 1, jnp.int32)
+    for _ in range(max(1, (num_samples - 1).bit_length())):
+        mid = (lo + hi) // 2
+        value = within_flat[ray_idx * num_samples + mid]
+        go_left = value >= target
+        hi = jnp.where(go_left, mid, hi)
+        lo = jnp.where(go_left, lo, mid + 1)
+    sample_idx = lo
+
+    valid = slot < total
+    # recompute the lattice analytically at (ray, sample) — cheaper than
+    # materializing and permuting the (B, S) t arrays
+    gathered_t_start = t_start[ray_idx, sample_idx]
+    gathered_delta = delta[ray_idx, sample_idx]
+
     buf = {
-        "ray_idx": compact(ray_idx_flat, jnp.int32(0)),
-        "t_mid": compact(t_mid.reshape(-1), jnp.float32(0)),
-        "delta": compact(delta.reshape(-1), jnp.float32(0)),
-        "valid": compact(flat_mask, False),
+        "ray_idx": jnp.where(valid, ray_idx, 0),
+        "t_mid": jnp.where(
+            valid, gathered_t_start + 0.5 * gathered_delta, 0.0
+        ),
+        "delta": jnp.where(valid, gathered_delta, 0.0),
+        "valid": valid,
+        "ray_first": starts.astype(jnp.int32),
+        "counts": counts,
+        "total": total,
     }
-    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
-    ray_first = jnp.cumsum(counts) - counts
-    buf["ray_first"] = ray_first
-    buf["counts"] = counts
-    buf["total"] = total
     return buf
 
 
