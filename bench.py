@@ -23,8 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DATASET = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "datasets", "sphere")
-WARMUP_STEPS = 30
-BENCH_STEPS = 200
+WARMUP_STEPS = 20
+BENCH_STEPS = 60
 
 
 def main():
@@ -55,6 +55,10 @@ def main():
     cfg["data"]["dataset_directory"] = DATASET
     cfg["data"]["train_eff_ray_sample_batch_size"] = 262144
     cfg["data"]["train_ray_batch_capacity"] = 8192
+    # flagship TPU-native field (ops/vm_grid.py); `ngp` remains available
+    # for reference-parity runs but is gather-bound on TPU (BASELINE.md)
+    cfg["model"]["nerf"]["arch"] = os.environ.get("REN_BENCH_ARCH",
+                                                  "tensorf")
     cfg["trainer"]["logger"] = False
     cfg["trainer"]["checkpoint_callback"] = False
 
@@ -80,14 +84,12 @@ def main():
         trainer.global_step = i
         trainer.maybe_update_occ_grid()
         state, loss, aux = step(state)
-    jax.block_until_ready(loss)
+    jax.device_get(aux)  # a data fetch is the only reliable sync here
 
-    total_rays = 0
     t0 = time.time()
     for i in range(BENCH_STEPS):
         state, loss, aux = step(state)
     host_aux = jax.device_get(aux)
-    jax.block_until_ready(loss)
     elapsed = time.time() - t0
 
     # the controller holds batch size ~constant in steady state
@@ -110,6 +112,7 @@ def main():
             "batch_size": batch_size,
             "mean_samples_per_ray": round(mean_samples, 1),
             "num_chips": trainer.num_chips,
+            "arch": cfg["model"]["nerf"]["arch"],
             "device": str(jax.devices()[0]),
             "loss": float(jax.device_get(loss)),
         },
