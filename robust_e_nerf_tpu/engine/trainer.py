@@ -101,6 +101,13 @@ class Trainer:
             if load_flags["nerf"]:
                 self._pending_occ_restore = ckpt_flat
 
+        if int(trainer_cfg.get("accumulate_grad_batches") or 1) != 1:
+            raise NotImplementedError(
+                "accumulate_grad_batches > 1 is not supported yet; the "
+                "fixed-shape sample budget makes large effective batches "
+                "cheap without accumulation"
+            )
+
         steps_per_epoch = int(trainer_cfg["limit_train_batches"])
         self.steps_per_epoch = steps_per_epoch
         self.max_epochs = int(trainer_cfg["max_epochs"])
@@ -228,6 +235,18 @@ class Trainer:
         self.occ_state = fn(self.params, self.buffers, self.occ_state, key)
 
     def fit(self):
+        # optional profiler capture (SURVEY.md section 5.1: the reference has
+        # TensorBoard scalars only; we add jax.profiler traces on request)
+        profile_dir = os.environ.get("REN_PROFILE_DIR")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        try:
+            return self._fit_loop()
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
+
+    def _fit_loop(self):
         t_start = time.time()
         while self.current_epoch < self.max_epochs:
             for _ in range(self.steps_per_epoch):
