@@ -198,6 +198,14 @@ def render_rays(
     return colors, opacity, depth, n_visible, buf["total"]
 
 
+def ray_distance_to_z_depth(depth, ray_direction, t_wc_orientation):
+    """Expected ray-termination distance -> z-depth: multiply by the cosine
+    between the ray and the camera principal axis (robust_e_nerf.py:873-884,
+    the NOTE about nerfstudio's convention)."""
+    principal_axis = t_wc_orientation[..., 2]
+    return depth * jnp.sum(ray_direction * principal_axis, axis=-1)
+
+
 def make_occ_eval_fn(nerf_params, aabb, spec: NerfSpec,
                      trajectory_positions=None, key=None):
     """Occupancy evaluation closure: density * step size, with the

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,6 +58,45 @@ def trunc_normal(low, high, size, mean, std, rng):
     x = erfinv(u)
     x = x * (std * math.sqrt(2.0)) + mean
     return np.clip(x, low, high)
+
+
+def lerp_uniform(values, upsampling_factor):
+    """Uniformly upsample along the first axis by linear interpolation
+    (tensor_ops.py:20-50): (N, ...) -> ((N-1)*factor + 1, ...)."""
+    values = jnp.asarray(values)
+    n = values.shape[0]
+    weight = jnp.arange(upsampling_factor, dtype=values.dtype)
+    weight = weight / upsampling_factor
+    weight = weight.reshape((upsampling_factor,) + (1,) * values.ndim)
+    interp = values[None, :-1] + weight * (values[None, 1:]
+                                           - values[None, :-1])
+    interp = jnp.moveaxis(interp, 0, 1).reshape(
+        ((n - 1) * upsampling_factor,) + values.shape[1:]
+    )
+    return jnp.concatenate([interp, values[-1:]], axis=0)
+
+
+def slerp_uniform(quats, upsampling_factor):
+    """Uniformly upsample unit quaternions along the first axis by slerp
+    (tensor_ops.py:53-80): (N, ..., 4) -> ((N-1)*factor + 1, ..., 4)."""
+    from . import quaternions
+
+    quats = jnp.asarray(quats)
+    assert quats.shape[-1] == 4
+    n = quats.shape[0]
+    steps = jnp.arange(upsampling_factor, dtype=quats.dtype)
+    steps = steps / upsampling_factor
+    q0 = quats[:-1]
+    q1 = quats[1:]
+    out = jax.vmap(
+        lambda s: quaternions.unitquat_slerp(
+            q0, q1, jnp.broadcast_to(s, q0.shape[:-1]), shortest_path=True
+        )
+    )(steps)  # (factor, N-1, ..., 4)
+    out = jnp.moveaxis(out, 0, 1).reshape(
+        ((n - 1) * upsampling_factor,) + quats.shape[1:]
+    )
+    return jnp.concatenate([out, quats[-1:]], axis=0)
 
 
 def pixel_meshgrid(height, width, dtype=np.float32):
