@@ -77,6 +77,37 @@ def contract_tanh_inv(u, aabb, num_dim=3):
     return x * (hi - lo) + lo
 
 
+def contract_coords(px, py, pz, aabb, contraction_type):
+    """Coordinate-separated contraction: (px, py, pz) each (...,) arrays ->
+    contracted (cx, cy, cz).
+
+    Functionally identical to `contract` on stacked coordinates, but big
+    batched inputs avoid (..., 3) tensors entirely — TPU tiling pads a
+    trailing dim of 3 to 128 lanes, so (B, S, 3) intermediates cost 42x
+    their logical size (docs/PERFORMANCE.md).
+    """
+    lo, hi = aabb[:3], aabb[3:]
+    nx = (px - lo[0]) / (hi[0] - lo[0])
+    ny = (py - lo[1]) / (hi[1] - lo[1])
+    nz = (pz - lo[2]) / (hi[2] - lo[2])
+    if contraction_type == AABB:
+        return nx, ny, nz
+    if contraction_type == SPHERE:
+        x = nx * 2.0 - 1.0
+        y = ny * 2.0 - 1.0
+        z = nz * 2.0 - 1.0
+        mag = jnp.sqrt(x * x + y * y + z * z)
+        safe = jnp.maximum(mag, 1e-12)
+        scale = jnp.where(mag > 1.0, (2.0 - 1.0 / safe) / safe, 1.0)
+        return (x * scale / 4.0 + 0.5, y * scale / 4.0 + 0.5,
+                z * scale / 4.0 + 0.5)
+    if contraction_type == TANH:
+        return ((jnp.tanh(nx - 0.5) + 1.0) / 2.0,
+                (jnp.tanh(ny - 0.5) + 1.0) / 2.0,
+                (jnp.tanh(nz - 0.5) + 1.0) / 2.0)
+    raise NotImplementedError(contraction_type)
+
+
 _FORWARD = {AABB: contract_aabb, SPHERE: contract_unisphere,
             TANH: contract_tanh}
 _INVERSE = {AABB: contract_aabb_inv, SPHERE: contract_unisphere_inv,

@@ -178,13 +178,20 @@ def march_and_compact(
     t_start, delta = _sample_lattice(t_min, step0, spec)     # (B, S)
     t_mid = t_start + 0.5 * delta
 
-    positions = (
-        origins[:, None, :] + directions[:, None, :] * t_mid[..., None]
-    )  # (B, S, 3)
-    contracted = contraction_mod.contract(
-        positions, aabb, spec.contraction_type
+    # per-coordinate math: (B, S, 3) intermediates would be padded 42x by
+    # the TPU's (8, 128) tiling (docs/PERFORMANCE.md)
+    px = origins[:, 0:1] + directions[:, 0:1] * t_mid        # (B, S)
+    py = origins[:, 1:2] + directions[:, 1:2] * t_mid
+    pz = origins[:, 2:3] + directions[:, 2:3] * t_mid
+    cx, cy, cz = contraction_mod.contract_coords(
+        px, py, pz, aabb, spec.contraction_type
     )
-    occupied = occupancy.lookup(occ_binary, contracted, occ_spec)
+    res = occ_spec.resolution
+    ix = jnp.clip((cx * res[0]).astype(jnp.int32), 0, res[0] - 1)
+    iy = jnp.clip((cy * res[1]).astype(jnp.int32), 0, res[1] - 1)
+    iz = jnp.clip((cz * res[2]).astype(jnp.int32), 0, res[2] - 1)
+    cell = ix * (res[1] * res[2]) + iy * res[2] + iz
+    occupied = occ_binary[cell]
 
     in_range = (t_mid < t_max[:, None]) & (t_max[:, None] > t_min[:, None])
     mask = in_range & occupied & ray_valid[:, None]           # (B, S)
