@@ -263,7 +263,15 @@ class Trainer:
 
             self.current_epoch += 1
             if self.current_epoch % self.check_val_every_n_epoch == 0:
-                self.run_evaluation("val")
+                metrics = self.run_evaluation("val")
+                print(
+                    f"epoch {self.current_epoch} "
+                    + " ".join(
+                        f"{k}={v:.4f}" for k, v in metrics.items()
+                        if v is not None
+                    ),
+                    flush=True,
+                )
             if self.checkpoint_enabled:
                 self.save_checkpoint()
         elapsed = time.time() - t_start

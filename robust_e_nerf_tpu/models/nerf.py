@@ -84,6 +84,13 @@ def build_nerf_spec(
     )
     if eval_capacity is None:
         eval_capacity = train_capacity
+    pallas_march = nerf_config.get("pallas_march", "auto")
+    if pallas_march == "auto":
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
+    else:
+        use_pallas = bool(pallas_march)
     march_kwargs = dict(
         contraction_type=contraction_type,
         render_step_size=render_step_size,
@@ -91,6 +98,7 @@ def build_nerf_spec(
         far_plane=None if far is None else float(far),
         cone_angle=cone_angle,
         max_samples_per_ray=max_s,
+        use_pallas=use_pallas,
     )
     march_train = ray_march.MarchSpec(capacity=int(train_capacity),
                                       **march_kwargs)

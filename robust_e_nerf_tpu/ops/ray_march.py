@@ -48,6 +48,7 @@ class MarchSpec:
     cone_angle: float
     max_samples_per_ray: int  # S: static lattice length
     capacity: int             # K: compacted sample-buffer length
+    use_pallas: bool = False  # fused mask kernel (ops/pallas/march_kernel)
 
 
 def max_lattice_samples(aabb, render_step_size, near_plane, far_plane,
@@ -175,32 +176,66 @@ def march_and_compact(
     else:
         step0 = jnp.zeros((num_rays,), jnp.float32)
 
-    t_start, delta = _sample_lattice(t_min, step0, spec)     # (B, S)
-    t_mid = t_start + 0.5 * delta
-
-    # per-coordinate math: (B, S, 3) intermediates would be padded 42x by
-    # the TPU's (8, 128) tiling (docs/PERFORMANCE.md)
-    px = origins[:, 0:1] + directions[:, 0:1] * t_mid        # (B, S)
-    py = origins[:, 1:2] + directions[:, 1:2] * t_mid
-    pz = origins[:, 2:3] + directions[:, 2:3] * t_mid
-    cx, cy, cz = contraction_mod.contract_coords(
-        px, py, pz, aabb, spec.contraction_type
+    uniform_lattice = spec.cone_angle <= 0.0
+    use_kernel = (
+        spec.use_pallas
+        and uniform_lattice
+        and num_rays % 64 == 0
+        and num_samples % 256 == 0
     )
-    res = occ_spec.resolution
-    ix = jnp.clip((cx * res[0]).astype(jnp.int32), 0, res[0] - 1)
-    iy = jnp.clip((cy * res[1]).astype(jnp.int32), 0, res[1] - 1)
-    iz = jnp.clip((cz * res[2]).astype(jnp.int32), 0, res[2] - 1)
-    cell = ix * (res[1] * res[2]) + iy * res[2] + iz
-    occupied = occ_binary[cell]
+    # ray_valid folds into t_max so both paths share it
+    t_max = jnp.where(ray_valid, t_max, t_min)
 
-    in_range = (t_mid < t_max[:, None]) & (t_max[:, None] > t_min[:, None])
-    mask = in_range & occupied & ray_valid[:, None]           # (B, S)
+    if use_kernel:
+        from .pallas import march_kernel
 
-    # ---- gather-based compaction (ray-major, marching order) ----
-    # Work is O(B*S) elementwise + per-row scans plus O(K log S) gathers;
-    # no scatters and no flat B*S-length scan (both are slow on TPU).
-    within = jnp.cumsum(mask.astype(jnp.int32), axis=1)      # (B, S)
-    counts = within[:, -1]                                   # (B,)
+        packed_planes = march_kernel.pack_occupancy(
+            occ_binary, occ_spec.resolution
+        )
+        if packed_planes[0].shape[0] > 1024:
+            use_kernel = False  # 256^3 grids exceed the one-hot budget
+    if use_kernel:
+        within = march_kernel.march_mask_cumsum(
+            aabb, origins, directions, t_min, t_max, step0,
+            packed_planes,
+            num_samples=num_samples,
+            resolution=occ_spec.resolution,
+            contraction_type=spec.contraction_type,
+            render_step_size=spec.render_step_size,
+            interpret=jax.default_backend() != "tpu",
+        )
+        t_start = delta = None
+        counts = within[:, -1]
+    else:
+        t_start, delta = _sample_lattice(t_min, step0, spec)  # (B, S)
+        t_mid = t_start + 0.5 * delta
+
+        # per-coordinate math: (B, S, 3) intermediates would be padded 42x
+        # by the TPU's (8, 128) tiling (docs/PERFORMANCE.md)
+        px = origins[:, 0:1] + directions[:, 0:1] * t_mid     # (B, S)
+        py = origins[:, 1:2] + directions[:, 1:2] * t_mid
+        pz = origins[:, 2:3] + directions[:, 2:3] * t_mid
+        cx, cy, cz = contraction_mod.contract_coords(
+            px, py, pz, aabb, spec.contraction_type
+        )
+        res = occ_spec.resolution
+        ix = jnp.clip((cx * res[0]).astype(jnp.int32), 0, res[0] - 1)
+        iy = jnp.clip((cy * res[1]).astype(jnp.int32), 0, res[1] - 1)
+        iz = jnp.clip((cz * res[2]).astype(jnp.int32), 0, res[2] - 1)
+        cell = ix * (res[1] * res[2]) + iy * res[2] + iz
+        occupied = occ_binary[cell]
+
+        in_range = (
+            (t_mid < t_max[:, None]) & (t_max[:, None] > t_min[:, None])
+        )
+        mask = in_range & occupied                            # (B, S)
+
+        # ---- gather-based compaction (ray-major, marching order) ----
+        # Work is O(B*S) elementwise + per-row scans plus O(K log S)
+        # gathers; no scatters and no flat B*S-length scan (both are slow
+        # on TPU).
+        within = jnp.cumsum(mask.astype(jnp.int32), axis=1)   # (B, S)
+        counts = within[:, -1]                                # (B,)
     ends = jnp.cumsum(counts)                                # (B,) inclusive
     starts = ends - counts
     total = ends[-1]
@@ -226,10 +261,19 @@ def march_and_compact(
     sample_idx = lo
 
     valid = slot < total
-    # recompute the lattice analytically at (ray, sample) — cheaper than
-    # materializing and permuting the (B, S) t arrays
-    gathered_t_start = t_start[ray_idx, sample_idx]
-    gathered_delta = delta[ray_idx, sample_idx]
+    if uniform_lattice:
+        # closed form: no (B, S) t arrays needed at all
+        gathered_t_start = (
+            t_min[ray_idx]
+            + (sample_idx.astype(jnp.float32) + step0[ray_idx])
+            * spec.render_step_size
+        )
+        gathered_delta = jnp.full(
+            (capacity,), spec.render_step_size, jnp.float32
+        )
+    else:
+        gathered_t_start = t_start[ray_idx, sample_idx]
+        gathered_delta = delta[ray_idx, sample_idx]
 
     buf = {
         "ray_idx": jnp.where(valid, ray_idx, 0),
