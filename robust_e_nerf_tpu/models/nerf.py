@@ -84,13 +84,11 @@ def build_nerf_spec(
     )
     if eval_capacity is None:
         eval_capacity = train_capacity
+    # Experimental: the fused Pallas marcher is exact (parity-tested in
+    # interpret mode) but current Mosaic cannot lower its lane->sublane
+    # relayout on real TPUs (docs/PERFORMANCE.md), so "auto" resolves off.
     pallas_march = nerf_config.get("pallas_march", "auto")
-    if pallas_march == "auto":
-        import jax
-
-        use_pallas = jax.default_backend() == "tpu"
-    else:
-        use_pallas = bool(pallas_march)
+    use_pallas = pallas_march is True
     march_kwargs = dict(
         contraction_type=contraction_type,
         render_step_size=render_step_size,

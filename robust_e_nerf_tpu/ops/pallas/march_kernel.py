@@ -29,7 +29,7 @@ from ...models import contraction as contraction_mod
 
 LANES = 128
 RAY_BLOCK = 64
-SAMPLE_CHUNK = 256
+SAMPLE_CHUNK = 128
 
 
 def pack_occupancy(binary, resolution):
@@ -76,8 +76,8 @@ def _march_kernel(scalars_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
     def chunk_body(chunk, carry):
         base = chunk * SAMPLE_CHUNK
         i = jax.lax.broadcasted_iota(
-            jnp.float32, (RAY_BLOCK, SAMPLE_CHUNK), 1
-        ) + jnp.float32(base)
+            jnp.int32, (RAY_BLOCK, SAMPLE_CHUNK), 1
+        ).astype(jnp.float32) + base.astype(jnp.float32)
         t_start = tmin_ref[:] + (i + step0_ref[:]) * render_step_size
         t_mid = t_start + 0.5 * render_step_size
 
@@ -120,12 +120,16 @@ def _march_kernel(scalars_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
             jnp.int32, (RAY_BLOCK * SAMPLE_CHUNK, rows), 1
         )
         onehot = (row_iota == row[:, None]).astype(jnp.bfloat16)
-        lane_flat = lane.reshape(-1, 1)
+        # Mosaic's lane gather wants indices shaped like the data: gather
+        # the same lane into every output lane, keep column 0
+        lane_bcast = jnp.broadcast_to(
+            lane.reshape(-1, 1), (RAY_BLOCK * SAMPLE_CHUNK, LANES)
+        )
         word_val = jnp.zeros((RAY_BLOCK * SAMPLE_CHUNK, 1), jnp.int32)
         for j, plane_ref in enumerate((b0_ref, b1_ref, b2_ref, b3_ref)):
             sel = jnp.dot(onehot, plane_ref[:].astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
-            byte = jnp.take_along_axis(sel, lane_flat, axis=1)
+            byte = jnp.take_along_axis(sel, lane_bcast, axis=1)[:, :1]
             word_val = word_val | (byte.astype(jnp.int32) << (8 * j))
         word_val = word_val.reshape(RAY_BLOCK, SAMPLE_CHUNK)
         occupied = ((word_val >> bit) & 1) > 0
@@ -133,7 +137,19 @@ def _march_kernel(scalars_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         in_range = (t_mid < tmax_ref[:]) & (tmax_ref[:] > tmin_ref[:])
         mask = (occupied & in_range).astype(jnp.int32)
 
-        within_chunk = jnp.cumsum(mask, axis=1) + carry
+        # Hillis-Steele inclusive scan along lanes (Mosaic has no cumsum)
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (RAY_BLOCK, SAMPLE_CHUNK), 1
+        )
+        within_chunk = mask
+        shift = 1
+        while shift < SAMPLE_CHUNK:
+            rolled = pltpu.roll(within_chunk, shift, axis=1)
+            within_chunk = within_chunk + jnp.where(
+                col >= shift, rolled, 0
+            )
+            shift *= 2
+        within_chunk = within_chunk + carry
         within_ref[:, pl.ds(base, SAMPLE_CHUNK)] = within_chunk
         return within_chunk[:, -1:]
 
@@ -141,20 +157,22 @@ def _march_kernel(scalars_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("num_samples", "resolution", "contraction_type",
-                     "render_step_size", "interpret"),
+    jax.custom_jvp,
+    nondiff_argnums=(7, 8, 9, 10, 11),
 )
 def march_mask_cumsum(
     aabb, origins, directions, t_min, t_max, step0, packed_planes,
-    *, num_samples, resolution, contraction_type, render_step_size,
+    num_samples, resolution, contraction_type, render_step_size,
     interpret=False,
 ):
     """Within-row cumulative mask counts (B, S) for the uniform lattice.
 
     Equivalent to the XLA pipeline in ray_march.march_and_compact for
     cone_angle == 0; the per-slot binary search downstream consumes the
-    result unchanged.
+    result unchanged.  Integer-valued and non-differentiable (like
+    nerfacc's marching); the custom JVP emits symbolic-zero tangents so the
+    kernel sits inside differentiated training code without a Pallas AD
+    rule.
     """
     num_rays = origins.shape[0]
     assert num_rays % RAY_BLOCK == 0, num_rays
@@ -208,3 +226,13 @@ def march_mask_cumsum(
         col(t_min), col(t_max), col(step0),
         *packed_planes,
     )
+
+
+@march_mask_cumsum.defjvp
+def _march_mask_cumsum_jvp(num_samples, resolution, contraction_type,
+                           render_step_size, interpret, primals, tangents):
+    out = march_mask_cumsum(
+        *primals, num_samples, resolution, contraction_type,
+        render_step_size, interpret,
+    )
+    return out, np.zeros(out.shape, dtype=jax.dtypes.float0)

@@ -181,7 +181,7 @@ def march_and_compact(
         spec.use_pallas
         and uniform_lattice
         and num_rays % 64 == 0
-        and num_samples % 256 == 0
+        and num_samples % 128 == 0
     )
     # ray_valid folds into t_max so both paths share it
     t_max = jnp.where(ray_valid, t_max, t_min)
@@ -198,11 +198,11 @@ def march_and_compact(
         within = march_kernel.march_mask_cumsum(
             aabb, origins, directions, t_min, t_max, step0,
             packed_planes,
-            num_samples=num_samples,
-            resolution=occ_spec.resolution,
-            contraction_type=spec.contraction_type,
-            render_step_size=spec.render_step_size,
-            interpret=jax.default_backend() != "tpu",
+            num_samples,
+            occ_spec.resolution,
+            spec.contraction_type,
+            spec.render_step_size,
+            jax.default_backend() != "tpu",
         )
         t_start = delta = None
         counts = within[:, -1]
