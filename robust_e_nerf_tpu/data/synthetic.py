@@ -79,16 +79,26 @@ def render_linear(origin, rotation, intrinsics_inv, width, height,
 # trajectory
 # ----------------------------------------------------------------------------
 
-def orbit_pose(theta, radius=3.0, elevation=0.55):
-    """Camera position on an inclined orbit, looking at the origin.
+def orbit_pose(theta, radius=3.0, elevation=0.55, phi=None):
+    """Camera position on an orbit, looking at the origin.
 
-    Returns (position (3,), rotation (3, 3)) in the common convention
-    (x right, y down, z forward)."""
-    pos = np.array(
-        [radius * np.cos(theta), radius * np.sin(theta),
-         elevation * radius * np.sin(0.5 * theta + 0.3) * 0.4 + 0.8],
-        dtype=np.float64,
-    )
+    `phi` (elevation angle, radians) gives a spherical parameterization
+    covering a band of the viewing hemisphere; when None, the legacy
+    wobbling-ring formula applies.  Returns (position (3,), rotation
+    (3, 3)) in the common convention (x right, y down, z forward)."""
+    if phi is not None:
+        pos = np.array(
+            [radius * np.cos(theta) * np.cos(phi),
+             radius * np.sin(theta) * np.cos(phi),
+             radius * np.sin(phi)],
+            dtype=np.float64,
+        )
+    else:
+        pos = np.array(
+            [radius * np.cos(theta), radius * np.sin(theta),
+             elevation * radius * np.sin(0.5 * theta + 0.3) * 0.4 + 0.8],
+            dtype=np.float64,
+        )
     forward = -pos / np.linalg.norm(pos)
     up_world = np.array([0.0, 0.0, 1.0])
     x_cam = np.cross(forward, up_world)
@@ -183,6 +193,7 @@ def generate_dataset(
     fov_deg=60.0,
     speed_wobble=0.0,
     revolutions=1.0,
+    elevation_sweep=0.0,  # radians; >0 sweeps a hemisphere band
     log_eps=1e-3,
     seed=0,
 ):
@@ -206,10 +217,16 @@ def generate_dataset(
         return orbit_theta(t, duration_s, revolutions=revolutions,
                            speed_wobble=speed_wobble)
 
+    def phi_of(theta):
+        if elevation_sweep <= 0.0:
+            return None
+        return elevation_sweep * np.sin(1.7 * theta + 0.4)
+
     pose_ts = np.linspace(0.0, duration_s, num_pose_samples)
     positions, quats = [], []
     for t in pose_ts:
-        pos, rot = orbit_pose(theta_of(t))
+        theta = theta_of(t)
+        pos, rot = orbit_pose(theta, phi=phi_of(theta))
         positions.append(pos)
         quats.append(Rotation.from_matrix(rot).as_quat())
     # hemisphere-align quaternions for clean interpolation
@@ -228,7 +245,8 @@ def generate_dataset(
     sim_ts = np.linspace(0.0, duration_s, num_sim_frames)
     log_frames = np.empty((num_sim_frames, img_height * img_width))
     for k, t in enumerate(sim_ts):
-        pos, rot = orbit_pose(theta_of(t))
+        theta = theta_of(t)
+        pos, rot = orbit_pose(theta, phi=phi_of(theta))
         img, _ = render_linear(pos, rot, intrinsics_inv, img_width,
                                img_height)
         log_frames[k] = np.log(img + log_eps).reshape(-1)
@@ -274,7 +292,10 @@ def generate_dataset(
     def write_views(stage, thetas, elevations):
         frames = []
         for i, (theta, elev) in enumerate(zip(thetas, elevations)):
-            pos, rot = orbit_pose(theta, elevation=elev)
+            if elevation_sweep > 0.0:
+                pos, rot = orbit_pose(theta, phi=elev)
+            else:
+                pos, rot = orbit_pose(theta, elevation=elev)
             img, alpha = render_linear(pos, rot, intrinsics_inv,
                                        img_width, img_height)
             display = np.power(np.clip(img, 0.0, 1.0), 1.0 / GAMMA)
@@ -306,15 +327,31 @@ def generate_dataset(
     train_thetas = theta_of(
         np.linspace(0.05, 0.95, num_train_views) * duration_s
     )
-    write_views("train", train_thetas, np.full(num_train_views, 0.55))
-    write_views(
-        "val",
-        rng.uniform(0, 2 * np.pi, num_val_views),
-        rng.uniform(0.35, 0.75, num_val_views),
-    )
-    write_views(
-        "test",
-        rng.uniform(0, 2 * np.pi, num_test_views),
-        rng.uniform(0.35, 0.75, num_test_views),
-    )
+    if elevation_sweep > 0.0:
+        write_views("train", train_thetas,
+                    [phi_of(t) for t in train_thetas])
+        write_views(
+            "val",
+            rng.uniform(0, 2 * np.pi, num_val_views),
+            rng.uniform(-0.9 * elevation_sweep, 0.9 * elevation_sweep,
+                        num_val_views),
+        )
+        write_views(
+            "test",
+            rng.uniform(0, 2 * np.pi, num_test_views),
+            rng.uniform(-0.9 * elevation_sweep, 0.9 * elevation_sweep,
+                        num_test_views),
+        )
+    else:
+        write_views("train", train_thetas, np.full(num_train_views, 0.55))
+        write_views(
+            "val",
+            rng.uniform(0, 2 * np.pi, num_val_views),
+            rng.uniform(0.35, 0.75, num_val_views),
+        )
+        write_views(
+            "test",
+            rng.uniform(0, 2 * np.pi, num_test_views),
+            rng.uniform(0.35, 0.75, num_test_views),
+        )
     return out_dir

@@ -21,6 +21,7 @@ def main():
     parser.add_argument("--p2n-ratio", type=float, default=1.0)
     parser.add_argument("--speed-wobble", type=float, default=0.0)
     parser.add_argument("--revolutions", type=float, default=1.0)
+    parser.add_argument("--elevation-sweep", type=float, default=0.0)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
     synthetic.generate_dataset(
@@ -34,6 +35,7 @@ def main():
         p2n_ratio=args.p2n_ratio,
         speed_wobble=args.speed_wobble,
         revolutions=args.revolutions,
+        elevation_sweep=args.elevation_sweep,
         seed=args.seed,
     )
     print(f"dataset written to {args.out_dir}")
