@@ -99,6 +99,27 @@ def slerp_uniform(quats, upsampling_factor):
     return jnp.concatenate([out, quats[-1:]], axis=0)
 
 
+def gradient(fn, inputs):
+    """d(sum-like scalar outputs)/d(inputs) with a ones seed — the JAX
+    counterpart of the reference's `autograd.gradient` (autograd.py:4-34).
+    In practice the framework differentiates time->pose->render with
+    `jax.jvp` (one tangent) instead; this helper exists for API parity."""
+    def summed(x):
+        return jnp.sum(fn(x))
+
+    return jax.grad(summed)(inputs)
+
+
+def jacobian(fn, inputs):
+    """Forward-mode Jacobian of fn at inputs (autograd.py:37-84
+    counterpart): output shape (*inputs.shape, K) for fn mapping to
+    (..., K)."""
+    jac = jax.jacfwd(fn)(inputs)
+    # jax.jacfwd returns (out_shape..., in_shape...); the reference's
+    # convention is (*inputs.shape, K) for elementwise-batched fns
+    return jnp.moveaxis(jac, 0, -1) if jac.ndim > 1 else jac
+
+
 def pixel_meshgrid(height, width, dtype=np.float32):
     """(H, W, 2) grid of (x, y) pixel coordinates, xy-indexed
     (robust_e_nerf.py:110-117)."""

@@ -29,3 +29,12 @@ def test_slerp_uniform(rng):
     expected = slerp([1 / 3]).as_quat()[0]
     sign = np.sign(np.sum(out[1] * expected))
     np.testing.assert_allclose(out[1], sign * expected, atol=1e-5)
+
+
+def test_gradient_helper():
+    import jax.numpy as jnp
+
+    from robust_e_nerf_tpu.utils import tensor_ops as t
+
+    g = t.gradient(lambda x: x**2, jnp.asarray([1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(np.asarray(g), [2.0, 4.0, 6.0], rtol=1e-6)
