@@ -181,3 +181,27 @@ def test_balanced_valid_mask():
     blocks = mask.reshape(4, 4)
     np.testing.assert_array_equal(blocks.sum(axis=1), [2, 1, 1, 1])
     assert blocks[0, :2].all() and not blocks[0, 2:].any()
+
+
+def test_resume_from_checkpoint(trained, dataset, tmp_path_factory):
+    """Full training-state resume (trainer.resume_from_checkpoint)."""
+    ckpt = trained.save_checkpoint()
+    tmp = tmp_path_factory.mktemp("engine_resume")
+    cfg = tiny_config(
+        dataset, tmp, **{"trainer.resume_from_checkpoint": ckpt}
+    )
+    t2 = Trainer(cfg)
+    assert t2.global_step == trained.global_step
+    ctrl = jax.device_get(t2.ctrl)
+    assert int(ctrl["step"]) == trained.global_step
+    p1 = jax.device_get(trained.params)
+    p2 = jax.device_get(t2.params)
+    np.testing.assert_array_equal(
+        np.asarray(p1["nerf"]["radiance_field"]["hash"]["table"]),
+        np.asarray(p2["nerf"]["radiance_field"]["hash"]["table"]),
+    )
+    # occupancy state restored too
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(trained.occ_state["binary"])),
+        np.asarray(jax.device_get(t2.occ_state["binary"])),
+    )
