@@ -12,6 +12,13 @@ with an explicit loop:
   * per-epoch validation, checkpointing, TensorBoard logging;
   * full-image evaluation with float64 affine log-intensity alignment and
     L1/PSNR/SSIM/LPIPS metrics (robust_e_nerf.py:589-780).
+
+Multi-host note: parameters/buffers are replicated and every process loads
+the same (small) eval image set, so evaluation needs no cross-process
+gather (the reference's all_gather at robust_e_nerf.py:591 exists because
+Lightning shards the eval dataset); host-side IO (logs, checkpoints,
+prediction PNGs) is gated to process 0, mirroring the reference's
+`is_global_zero` gating (run.py:101-123).
 """
 
 from __future__ import annotations
@@ -201,8 +208,16 @@ class Trainer:
     # ------------------------------------------------------------------
 
     @property
+    def is_main_process(self):
+        return jax.process_index() == 0
+
+    @property
     def writer(self):
-        if self._writer is None and self.logging_enabled:
+        if (
+            self._writer is None
+            and self.logging_enabled
+            and self.is_main_process
+        ):
             from torch.utils.tensorboard import SummaryWriter
 
             os.makedirs(self.log_dir, exist_ok=True)
@@ -416,6 +431,8 @@ class Trainer:
 
     def save_prediction_images(self, stage, stage_name, pred_aligned):
         """8-bit normalized PNG dumps (robust_e_nerf.py:735-780)."""
+        if not self.is_main_process:
+            return
         import cv2
 
         folder = os.path.join(self.log_dir, PREDICTIONS_FOLDER_NAME)
@@ -438,6 +455,8 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def save_checkpoint(self):
+        if not self.is_main_process:
+            return None
         folder = os.path.join(self.log_dir, "checkpoints")
         path = os.path.join(
             folder,
