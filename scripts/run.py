@@ -44,6 +44,13 @@ def main(args):
     # matmul precision pin (run.py:35)
     import jax
 
+    # The environment's experimental TPU plugin ignores JAX_PLATFORMS;
+    # REN_PLATFORM forces a backend through jax.config before first use
+    # (used by the CPU test harness).
+    forced_platform = os.environ.get("REN_PLATFORM")
+    if forced_platform:
+        jax.config.update("jax_platforms", forced_platform)
+
     # persistent compilation cache: repeated runs skip XLA recompiles
     cache_dir = os.environ.get(
         "REN_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/ren_tpu_xla")
