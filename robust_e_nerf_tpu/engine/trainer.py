@@ -437,13 +437,15 @@ class Trainer:
 
         folder = os.path.join(self.log_dir, PREDICTIONS_FOLDER_NAME)
         os.makedirs(folder, exist_ok=True)
+        # 8- or 16-bit normalized quantization (robust_e_nerf.py:739-758)
         max_pixel = 2**PREDICTION_BIT_DEPTH - 1
+        out_dtype = {8: np.uint8, 16: np.uint16}[PREDICTION_BIT_DEPTH]
         imgs = tensor_ops.normalize_range(
             pred_aligned, stage.min_normalized_pixel_value,
             stage.max_normalized_pixel_value,
         )
         imgs = np.clip(np.asarray(imgs), 0, 1)
-        imgs = np.round(max_pixel * imgs).astype(np.uint8)
+        imgs = np.round(max_pixel * imgs).astype(out_dtype)
         imgs = imgs.transpose(0, 2, 3, 1)  # (N, H, W, C)
         for sample_id, img in zip(stage.sample_id, imgs):
             if img.shape[-1] == 3:
