@@ -8,7 +8,11 @@ are real samples (`valid_mask`).  Masked rays march zero samples and are
 excluded from every mean, so the training dynamics are those of the dynamic
 batch size while the compiled program never changes shape.
 
-Timestamps: `start_ts` is float32 seconds re-based to the first pose time;
+Timestamps: device times are a two-float (hi, lo) pair of float32 seconds
+re-based to the first pose time — `hi + lo` carries the full float64
+precision of the int64-ns source, so microsecond inter-event intervals
+survive at t = 20+ s where a single f32 has only ~2 us resolution (the
+reference keeps int64 ns + float64 samplers, datamodule.py:157-196).
 `interval` is computed exactly on int64 nanoseconds before conversion.
 """
 
@@ -20,19 +24,31 @@ from . import camera_poses as poses_mod
 from . import samplers as samplers_mod
 
 
+def split_two_float(t_f64):
+    """float64 seconds -> (hi, lo) float32 pair with hi + lo == t exactly
+    to f32-pair precision (classic double-float split)."""
+    t_f64 = np.asarray(t_f64, np.float64)
+    hi = t_f64.astype(np.float32)
+    lo = (t_f64 - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
 def build_event_table(events, t0_ns, has_bayer):
     """Transformed events -> fixed dtype arrays ready for device residency.
 
-    `start_ts` is f32 seconds re-based to t0; `interval` is exact int64
-    differencing converted to seconds (never re-derived from f32 times).
-    The table is what the jitted step gathers batches from (the streaming
-    fixed-shape pipeline of SURVEY.md section 5.7).
+    `start_ts_hi/lo` is a two-float split of f64 seconds re-based to t0;
+    `interval` is exact int64 differencing converted to seconds (never
+    re-derived from rounded absolute times).  The table is what the jitted
+    step gathers batches from (the streaming fixed-shape pipeline of
+    SURVEY.md section 5.7).
     """
+    start_hi, start_lo = split_two_float(
+        poses_mod.rebase_timestamps_ns(events["start_ts"], t0_ns)
+    )
     table = {
         "position": np.asarray(events["position"], np.float32),
-        "start_ts": poses_mod.rebase_timestamps_ns(
-            events["start_ts"], t0_ns
-        ).astype(np.float32),
+        "start_ts_hi": start_hi,
+        "start_ts_lo": start_lo,
         "interval": poses_mod.intervals_seconds(
             events["start_ts"], events["end_ts"]
         ).astype(np.float32),
@@ -67,7 +83,8 @@ class EventBatcher:
 
         table = build_event_table(events, t0_ns, has_bayer)
         self.position = table["position"]
-        self.start_ts = table["start_ts"]
+        self.start_ts_hi = table["start_ts_hi"]
+        self.start_ts_lo = table["start_ts_lo"]
         self.interval = table["interval"]
         self.num_pos = table["num_pos"]
         self.num_neg = table["num_neg"]
@@ -85,7 +102,8 @@ class EventBatcher:
         idx = self.rng.integers(0, self.num_events, size=cap)
         batch = {
             "position": self.position[idx],
-            "start_ts": self.start_ts[idx],
+            "start_ts_hi": self.start_ts_hi[idx],
+            "start_ts_lo": self.start_ts_lo[idx],
             "interval": self.interval[idx],
             "num_pos": self.num_pos[idx],
             "num_neg": self.num_neg[idx],

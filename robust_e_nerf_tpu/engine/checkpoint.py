@@ -49,6 +49,18 @@ def load_checkpoint_flat(path):
         return {k: data[k] for k in data.files}
 
 
+def load_hparams(path_or_flat):
+    """The checkpoint's embedded hyperparameters (the full run config +
+    seed, the counterpart of Lightning's `save_hyperparameters`,
+    robust_e_nerf.py:162-173 / datamodule.py:56-60)."""
+    flat = (
+        load_checkpoint_flat(path_or_flat)
+        if isinstance(path_or_flat, (str, os.PathLike)) else path_or_flat
+    )
+    meta = json.loads(bytes(flat["__meta__"]).decode())
+    return meta.get("hparams", {})
+
+
 def restore_params(flat, params_like):
     sub = {
         k[len("params/"):]: v for k, v in flat.items()

@@ -69,11 +69,30 @@ class Model:
 
 
 def _build_eval_stage(dataset_directory, stage, permutation_seed,
-                      alpha_over_white_bg) -> EvalStage:
+                      alpha_over_white_bg, dataset_ratio=1.0,
+                      eff_batch_size=1) -> EvalStage:
+    """Load one eval stage's posed images.
+
+    `dataset_ratio`/`eff_batch_size` implement the reference's eval-set
+    trimming (`val/test_dataset_ratio`, datamodule.py:119-137): an int
+    ratio keeps `ratio * eff_batch_size` images, a float keeps that
+    fraction — always the first N of the (already permuted) set, matching
+    TrimDataset(start_index=0).  `*_eff_batch_size` has no other effect
+    here: evaluation renders per image in test_chunk_size-ray chunks, so
+    the reference's per-device eval batch division (datamodule.py:62-78)
+    has no fixed-shape counterpart.
+    """
     imgs = posed_mod.load_posed_images(
         dataset_directory, stage, permutation_seed=permutation_seed,
         alpha_over_white_bg=alpha_over_white_bg,
     )
+    from ..data import pipeline as pipeline_mod
+
+    subset = pipeline_mod.trim_length(
+        len(imgs["img"]), dataset_ratio, int(eff_batch_size)
+    )
+    for key in ("sample_id", "img", "T_wc_position", "T_wc_orientation"):
+        imgs[key] = imgs[key][:subset]
     height, width = imgs["img"].shape[-2:]
     return EvalStage(
         intrinsics_inv=np.linalg.inv(
@@ -115,6 +134,8 @@ def build_model(config, seed, num_chips) -> Model:
     val_stage = _build_eval_stage(
         dataset_directory, val_img_stage, eval_perm_seed,
         alpha_over_white_bg,
+        dataset_ratio=data_cfg.get("val_dataset_ratio", 1.0),
+        eff_batch_size=data_cfg.get("val_eff_batch_size", 1),
     )
     try:
         if eval_target == {"event_view"}:
@@ -123,6 +144,8 @@ def build_model(config, seed, num_chips) -> Model:
             test_stage = _build_eval_stage(
                 dataset_directory, test_img_stage, eval_perm_seed,
                 alpha_over_white_bg,
+                dataset_ratio=data_cfg.get("test_dataset_ratio", 1.0),
+                eff_batch_size=data_cfg.get("test_eff_batch_size", 1),
             )
     except FileNotFoundError:
         test_stage = None

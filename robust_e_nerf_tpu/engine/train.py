@@ -32,15 +32,18 @@ from .model import ModelSpec
 
 
 def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
-                         pixel_pos, channel_idx, ts, ray_valid, key,
-                         march_spec):
+                         pixel_pos, channel_idx, ts_hi, ts_lo, ray_valid,
+                         key, march_spec):
     """Render pixels at trajectory time(s) -> per-ray log intensity.
 
     Mirrors render_pixels (robust_e_nerf.py:849-885) + bayering (:887-890)
-    + the log (:394, :432-433).  Returns
+    + the log (:394, :432-433).  Times are two-float (hi, lo) pairs (see
+    data/pipeline.py).  Returns
     (log_intensity (B,), opacity (B,), n_visible (), is_valid (B,)).
     """
-    position, rotation = traj_mod.interpolate_pose(buffers["trajectory"], ts)
+    position, rotation = traj_mod.interpolate_pose(
+        buffers["trajectory"], ts_hi, ts_lo
+    )
     origins, directions = nerf_mod.pixel_params_to_ray(
         buffers["train_intrinsics_inv"], pixel_pos, position, rotation
     )
@@ -84,11 +87,17 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
         params["contrast_threshold"], buffers["contrast_threshold"],
         batch["num_pos"], batch["num_neg"],
     )
-    start_ts, interval = event_model.apply_refractory_period(
+    # Times are two-float (hi, lo) pairs: the refractory delay and every
+    # supervision offset below are interval-scale (<= seconds with ~1e-7
+    # relative error in f32) and accumulate in the lo word only, so
+    # microsecond intervals at t = 20+ s never collapse to zero the way a
+    # single f32 absolute time would (the reference keeps f64 end to end,
+    # datamodule.py:157-196).
+    start_hi = batch["start_ts_hi"]
+    start_lo, interval = event_model.apply_refractory_period(
         params["refractory_period"], buffers["refractory_period"],
-        batch["start_ts"], batch["interval"],
+        batch["start_ts_lo"], batch["interval"],
     )
-    end_ts = start_ts + interval
     channel_idx = batch.get("channel_idx")
 
     aux = {}
@@ -96,22 +105,25 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
     use_diff = loss_spec.weight_diff > 0
     use_grad = loss_spec.weight_grad > 0
 
-    # supervision timestamps (robust_e_nerf.py:322-358)
+    # supervision timestamps (robust_e_nerf.py:322-358), as offsets from the
+    # (tau-delayed) event start; algebraically identical to the reference's
+    #   diff_start = lerp(start, max(end - ts_diff, start), u)
+    #   diff_end   = min(diff_start + ts_diff, end)
     if use_diff:
         ts_diff = interval * batch["normalized_ts_diff"]
-        diff_start_ts = tensor_ops.lerp(
-            start_ts,
-            jnp.maximum(end_ts - ts_diff, start_ts),
-            batch["normalized_diff_start_ts"],
+        off_start = batch["normalized_diff_start_ts"] * jnp.maximum(
+            interval - ts_diff, 0.0
         )
-        diff_end_ts = jnp.minimum(diff_start_ts + ts_diff, end_ts)
+        off_end = jnp.minimum(off_start + ts_diff, interval)
+        diff_start_lo = start_lo + off_start
+        diff_end_lo = start_lo + off_end
 
     if use_grad:
         if use_diff:
-            grad_base_start, grad_base_end = diff_start_ts, diff_end_ts
+            grad_base_start, grad_base_end = diff_start_lo, diff_end_lo
         else:
-            grad_base_start, grad_base_end = start_ts, end_ts
-        grad_ts = tensor_ops.lerp(
+            grad_base_start, grad_base_end = start_lo, start_lo + interval
+        grad_lo = tensor_ops.lerp(
             grad_base_start, grad_base_end, batch["normalized_grad_ts"]
         )
 
@@ -122,14 +134,17 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
     losses = {}
 
     if use_grad:
-        def logI_at(ts):
+        def logI_at(lo):
             return render_log_intensity(
                 params, buffers, occ_binary, spec, batch["position"],
-                channel_idx, ts, valid, keys[0], spec.nerf.march_train,
+                channel_idx, start_hi, lo, valid, keys[0],
+                spec.nerf.march_train,
             )
 
+        # d(logI)/dt via the lo word: t = hi + lo, so a unit tangent on lo
+        # is a unit tangent on t
         (logI_g, opacity_g, nvis_g, valid_g), tangents = jax.jvp(
-            logI_at, (grad_ts,), (jnp.ones_like(grad_ts),)
+            logI_at, (grad_lo,), (jnp.ones_like(grad_lo),)
         )
         dlogI_dt = tangents[0]
         del logI_g
@@ -141,12 +156,12 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
     if use_diff:
         logI_s, opacity_s, nvis_s, valid_s = render_log_intensity(
             params, buffers, occ_binary, spec, batch["position"],
-            channel_idx, diff_start_ts, valid, keys[1],
+            channel_idx, start_hi, diff_start_lo, valid, keys[1],
             spec.nerf.march_train,
         )
         logI_e, opacity_e, nvis_e, valid_e = render_log_intensity(
             params, buffers, occ_binary, spec, batch["position"],
-            channel_idx, diff_end_ts, valid, keys[2],
+            channel_idx, start_hi, diff_end_lo, valid, keys[2],
             spec.nerf.march_train,
         )
         pred_diff = logI_e - logI_s
@@ -233,7 +248,8 @@ def sample_device_batch(event_table, key, local_capacity, has_bayer):
     idx = jax.random.randint(k_idx, (local_capacity,), 0, n_events)
     batch = {
         "position": event_table["position"][idx],
-        "start_ts": event_table["start_ts"][idx],
+        "start_ts_hi": event_table["start_ts_hi"][idx],
+        "start_ts_lo": event_table["start_ts_lo"][idx],
         "interval": event_table["interval"][idx],
         "num_pos": event_table["num_pos"][idx],
         "num_neg": event_table["num_neg"][idx],
@@ -252,23 +268,40 @@ def sample_device_batch(event_table, key, local_capacity, has_bayer):
 
 
 def make_train_step(spec: ModelSpec, optimizer, mesh,
-                    sample_budget, init_batch_size):
+                    sample_budget, init_batch_size, accum_steps=1):
     """Build the jitted train step.
 
     Everything — event sampling, loss, gradients, the optimizer update, the
     tau projection, and the dynamic batch-size controller — runs on device;
     the returned function's only per-step host traffic is the dispatch.
-    The controller state `ctrl` carries {step, batch_size} as device
-    scalars; batch_size retargets to budget / mean-samples-per-ray exactly
-    like the reference (robust_e_nerf.py:907-950), with its one-step
-    (prefetch) delay arising naturally because this step's batch was sized
-    by the previous step's statistics.
+    The controller state `ctrl` carries {step, batch_size, nonfinite_step}
+    as device scalars; batch_size retargets to budget/mean-samples-per-ray
+    exactly like the reference (robust_e_nerf.py:907-950), with its
+    one-step (prefetch) delay arising naturally because this step's batch
+    was sized by the previous step's statistics.
+
+    `accum_steps` implements `trainer.accumulate_grad_batches`
+    (robust_e_nerf.py:373-379,924-938): a lax.scan over `accum_steps`
+    independently sampled micro-batches whose gradients are averaged before
+    the single optimizer update, so one call == one optimizer step == one
+    accumulation cycle (matching the reference, where the occupancy update
+    fires on the first micro-batch of each cycle and global_step counts
+    optimizer steps).  The controller retargets once per cycle from the
+    cycle-mean samples/ray.
+
+    NaN guard (`terminate_on_nan`, run.py:94): a non-finite loss freezes
+    params/opt_state/controller on device and records the offending
+    optimizer step in ctrl["nonfinite_step"]; the host raises at its next
+    fetch.  Unlike a per-step host sync (30+ ms over a high-latency link),
+    this costs nothing and still guarantees zero poisoned optimizer steps.
     """
     from jax import shard_map
 
     num_chips = mesh.size
     local_capacity = spec.batch_capacity
     local_budget = sample_budget // num_chips
+    accum_steps = int(accum_steps)
+    assert accum_steps >= 1
 
     def global_loss(params, buffers, event_table, occ_binary, batch_size,
                     key):
@@ -303,25 +336,82 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
             check_vma=False,
         )(params, buffers, event_table, occ_binary, batch_size, key)
 
+    def loss_and_grads(params, buffers, event_table, occ_binary,
+                       batch_size, key):
+        if accum_steps == 1:
+            return jax.value_and_grad(global_loss, has_aux=True)(
+                params, buffers, event_table, occ_binary, batch_size, key
+            )
+
+        def micro_step(carry, micro_key):
+            grads_acc, loss_acc, aux_acc = carry
+            (loss, aux), grads = jax.value_and_grad(
+                global_loss, has_aux=True
+            )(params, buffers, event_table, occ_binary, batch_size,
+              micro_key)
+            grads_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g, grads_acc, grads
+            )
+            aux_acc = jax.tree_util.tree_map(lambda a, x: a + x, aux_acc,
+                                             aux)
+            return (grads_acc, loss_acc + loss, aux_acc), None
+
+        zeros_like_tree = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            jnp.zeros_like, t
+        )
+        # shape/dtype templates from an abstract eval (no compute)
+        (loss_shape, aux_shape), grads_shape = jax.eval_shape(
+            lambda *a: jax.value_and_grad(global_loss, has_aux=True)(*a),
+            params, buffers, event_table, occ_binary, batch_size, key,
+        )
+        init = (
+            zeros_like_tree(grads_shape),
+            jnp.zeros(loss_shape.shape, loss_shape.dtype),
+            zeros_like_tree(aux_shape),
+        )
+        micro_keys = jax.random.split(key, accum_steps)
+        (grads, loss, aux), _ = jax.lax.scan(micro_step, init, micro_keys)
+        scale = 1.0 / accum_steps
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        aux = jax.tree_util.tree_map(lambda x: x * scale, aux)
+        return (loss * scale, aux), grads
+
     @jax.jit
     def train_step(params, opt_state, ctrl, buffers, event_table,
                    occ_binary, base_key):
         key = jax.random.fold_in(base_key, ctrl["step"])
-        (loss, aux), grads = jax.value_and_grad(
-            global_loss, has_aux=True
-        )(params, buffers, event_table, occ_binary, ctrl["batch_size"],
-          key)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        (loss, aux), grads = loss_and_grads(
+            params, buffers, event_table, occ_binary, ctrl["batch_size"],
+            key,
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, params, updates
+        )
         # tau logit projection (event_generation_params.py:170-185)
-        params["refractory_period"]["raw_tau"] = event_model.clamp_raw_tau(
-            params["refractory_period"]["raw_tau"],
-            buffers["refractory_period"]["max_refractory_period"],
+        new_params["refractory_period"]["raw_tau"] = (
+            event_model.clamp_raw_tau(
+                new_params["refractory_period"]["raw_tau"],
+                buffers["refractory_period"]["max_refractory_period"],
+            )
+        )
+        # NaN guard: freeze state at the first non-finite loss
+        finite = jnp.isfinite(loss)
+        poisoned = ctrl["nonfinite_step"] >= 0
+        apply = finite & jnp.logical_not(poisoned)
+        select = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+            lambda n, o: jnp.where(apply, n, o), new, old
+        )
+        params = select(new_params, params)
+        opt_state = select(new_opt_state, opt_state)
+        nonfinite_step = jnp.where(
+            poisoned, ctrl["nonfinite_step"],
+            jnp.where(finite, jnp.int32(-1), ctrl["step"]),
         )
         # dynamic batch-size controller (robust_e_nerf.py:940-948)
         mean_samples = aux["mean_num_samples_per_ray"]
         new_batch_size = jnp.where(
-            mean_samples > 0,
+            (mean_samples > 0) & apply,
             (local_budget * num_chips / jnp.maximum(mean_samples, 1e-6))
             .astype(jnp.int32),
             ctrl["batch_size"],
@@ -331,8 +421,10 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
             "batch_size": jnp.clip(
                 new_batch_size, 1, local_capacity * num_chips
             ),
+            "nonfinite_step": nonfinite_step,
         }
         aux["batch_size"] = ctrl["batch_size"]
+        aux["nonfinite_step"] = nonfinite_step
         return params, opt_state, ctrl, loss, aux
 
     return train_step
@@ -342,6 +434,7 @@ def init_controller_state(init_batch_size):
     return {
         "step": jnp.int32(0),
         "batch_size": jnp.int32(init_batch_size),
+        "nonfinite_step": jnp.int32(-1),
     }
 
 

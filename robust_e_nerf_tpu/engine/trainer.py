@@ -23,6 +23,7 @@ prediction PNGs) is gated to process 0, mirroring the reference's
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -108,12 +109,14 @@ class Trainer:
             if load_flags["nerf"]:
                 self._pending_occ_restore = ckpt_flat
 
-        if int(trainer_cfg.get("accumulate_grad_batches") or 1) != 1:
-            raise NotImplementedError(
-                "accumulate_grad_batches > 1 is not supported yet; the "
-                "fixed-shape sample budget makes large effective batches "
-                "cheap without accumulation"
-            )
+        # accumulate_grad_batches (robust_e_nerf.py:373-379,924-938): one
+        # train_step call is one full accumulation cycle (a lax.scan over
+        # micro-batches), so the host loop's step count remains the
+        # optimizer-step count, exactly like Lightning's global_step
+        self.accumulate_grad_batches = int(
+            trainer_cfg.get("accumulate_grad_batches") or 1
+        )
+        assert self.accumulate_grad_batches >= 1
 
         steps_per_epoch = int(trainer_cfg["limit_train_batches"])
         self.steps_per_epoch = steps_per_epoch
@@ -195,6 +198,7 @@ class Trainer:
         self.train_step = train_mod.make_train_step(
             spec, self.optimizer, self.mesh,
             self.sample_budget, self.init_batch_size,
+            accum_steps=self.accumulate_grad_batches,
         )
         self.ctrl = train_mod.init_controller_state(self.init_batch_size)
         self.ctrl = mesh_mod.put_replicated(self.ctrl, self.mesh)
@@ -261,8 +265,41 @@ class Trainer:
             if profile_dir:
                 jax.profiler.stop_trace()
 
+    def _register_hp_metrics(self):
+        """hp-metric registration at train start (robust_e_nerf.py:834-847):
+        declare the tracked metrics and their worst-case initial values so
+        TensorBoard's HParams tab knows the tuning directions."""
+        if self.writer is None:
+            return
+        hparams = json.loads(json.dumps(
+            {"seed": self.seed, "config": self.config}, default=str
+        ))
+        flat = {}
+
+        def _flatten(node, prefix=""):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    _flatten(v, f"{prefix}{k}/")
+            elif isinstance(node, (int, float, str, bool)) or node is None:
+                flat[prefix[:-1]] = "" if node is None else node
+            else:
+                flat[prefix[:-1]] = str(node)
+
+        _flatten(hparams)
+        self.writer.add_hparams(
+            flat,
+            {
+                "val/l1": float("inf"),
+                "val/psnr": float("-inf"),
+                "val/ssim": -1.0,
+                "val/lpips": float("inf"),
+            },
+            run_name=".",
+        )
+
     def _fit_loop(self):
         t_start = time.time()
+        self._register_hp_metrics()
         while self.current_epoch < self.max_epochs:
             for _ in range(self.steps_per_epoch):
                 self.maybe_update_occ_grid()
@@ -276,6 +313,7 @@ class Trainer:
                     self.log_training_scalars(aux, t_start)
                 self.global_step += 1
 
+            self._check_finite(jax.device_get(self.ctrl))
             self.current_epoch += 1
             if self.current_epoch % self.check_val_every_n_epoch == 0:
                 metrics = self.run_evaluation("val")
@@ -294,16 +332,26 @@ class Trainer:
             self.writer.flush()
         return elapsed
 
+    def _check_finite(self, host_state):
+        """terminate_on_nan (run.py:94): the train step records the first
+        optimizer step whose loss went non-finite and freezes all state
+        from that step on (engine/train.py), so raising at the next host
+        fetch terminates with zero poisoned optimizer steps — without any
+        per-step host sync."""
+        offending = int(host_state.get("nonfinite_step", -1))
+        if offending >= 0:
+            raise FloatingPointError(
+                f"non-finite training loss at step {offending}; parameters "
+                "were frozen at the last finite step"
+            )
+
     def log_training_scalars(self, aux, t_start):
         """One host sync per log interval: fetch the aux dict, print a
         progress line, forward scalars to TensorBoard
         (robust_e_nerf.py:489-515)."""
         host_aux = jax.device_get(aux)
+        self._check_finite(host_aux)
         loss = float(host_aux["loss/total"])
-        if not np.isfinite(loss):
-            raise FloatingPointError(  # terminate_on_nan (run.py:94)
-                f"non-finite training loss at step {self.global_step}"
-            )
         batch_size = int(host_aux["batch_size"])
         rate = (self.global_step + 1) / max(time.time() - t_start, 1e-9)
         print(
@@ -464,12 +512,18 @@ class Trainer:
             folder,
             f"epoch={self.current_epoch - 1}-step={self.global_step}.npz",
         )
+        # full hyperparameters, like Lightning's save_hyperparameters
+        # (robust_e_nerf.py:162-173, datamodule.py:56-60): the entire run
+        # config plus the resolved seed
+        hparams = json.loads(json.dumps(
+            {"seed": self.seed, "config": self.config}, default=str
+        ))
         ckpt_mod.save_checkpoint(
             path, jax.device_get(self.params),
             jax.device_get(self.opt_state),
             jax.device_get(self.occ_state), self.global_step,
             int(jax.device_get(self.ctrl)["batch_size"]),
-            hparams={"seed": self.seed},
+            hparams=hparams,
         )
         # save_top_k=1 behaviour: keep only the latest
         if (
@@ -499,6 +553,7 @@ class Trainer:
             {
                 "step": np.int32(self.global_step),
                 "batch_size": np.int32(flat["batch_size"]),
+                "nonfinite_step": np.int32(-1),
             },
             self.mesh,
         )

@@ -133,12 +133,14 @@ def refractory_period(params, buffers):
     return transforms.scaled_shifted_sigmoid(raw, low=0.0, high=max_tau)
 
 
-def apply_refractory_period(params, buffers, start_ts, interval):
+def apply_refractory_period(params, buffers, start_ts_lo, interval):
     """Delay interval starts by tau (event_generation_params.py:196-203).
 
-    Returns (start_ts + tau, interval - tau): the effective interval is
-    updated in the same subtraction so precision comes from the host-exact
-    `interval`, not from re-differencing f32 absolute times.
+    Operates on the *lo* word of the two-float event start time (tau is
+    microsecond-scale, so it accumulates losslessly there); returns
+    (start_ts_lo + tau, interval - tau) — the effective interval is updated
+    in the same subtraction so precision comes from the host-exact
+    `interval`, not from re-differencing rounded absolute times.
     """
     tau = refractory_period(params, buffers)
-    return start_ts + tau, interval - tau
+    return start_ts_lo + tau, interval - tau

@@ -37,25 +37,40 @@ def build_trajectory_buffers(t_wc_position, t_wc_orientation_quat,
     }
 
 
-def interpolate_pose(buffers, timestamp):
+def interpolate_pose(buffers, timestamp, timestamp_lo=None):
     """Evaluate the trajectory at timestamps (N,) -> ((N, 3), (N, 3, 3)).
 
     Matches `LinearTrajectory.forward` (trajectories.py:30-91): searchsorted
     into the pose timestamps (left side), the t == first-timestamp corner
     case keeps both bin edges at index 0, positions lerp, orientations slerp
     along the shortest path with per-sample steps.
+
+    `timestamp_lo` (optional) is the low word of a two-float time
+    t = timestamp + timestamp_lo: the interpolation weight is computed as
+    ((hi - bin_edge) + lo) / width, so microsecond offsets survive even
+    when the absolute time exceeds f32 resolution (the reference keeps
+    float64 times end to end, datamodule.py:157-196).  Bin *selection* may
+    land one edge off when hi + lo straddles a pose timestamp; the weight
+    then lies infinitesimally outside [0, 1], which lerp/slerp extend
+    continuously.
     """
     ts = buffers["timestamp"]
     num_poses = ts.shape[0]
 
-    bin_right = jnp.searchsorted(ts, timestamp, side="left")
+    t_search = (
+        timestamp if timestamp_lo is None else timestamp + timestamp_lo
+    )
+    bin_right = jnp.searchsorted(ts, t_search, side="left")
     bin_right = jnp.clip(bin_right, 0, num_poses - 1)
-    is_corner = timestamp == ts[0]
+    is_corner = t_search == ts[0]
     bin_left = jnp.where(is_corner, bin_right, bin_right - 1)
     bin_left = jnp.clip(bin_left, 0, num_poses - 1)
 
     width = buffers["bin_width"][jnp.clip(bin_left, 0, num_poses - 2)]
-    weight = (timestamp - ts[bin_left]) / width
+    delta = timestamp - ts[bin_left]
+    if timestamp_lo is not None:
+        delta = delta + timestamp_lo
+    weight = delta / width
     weight = weight.astype(buffers["position"].dtype)
 
     p0 = buffers["position"][bin_left]

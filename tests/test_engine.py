@@ -205,3 +205,96 @@ def test_resume_from_checkpoint(trained, dataset, tmp_path_factory):
         np.asarray(jax.device_get(trained.occ_state["binary"])),
         np.asarray(jax.device_get(t2.occ_state["binary"])),
     )
+
+
+def test_grad_accumulation(dataset, tmp_path_factory):
+    """accumulate_grad_batches=2 (robust_e_nerf.py:373-379,924-938): one
+    train_step call scans 2 micro-batches, averages their gradients, and
+    applies ONE optimizer update."""
+    tmp = tmp_path_factory.mktemp("engine_accum")
+    cfg = tiny_config(
+        dataset, tmp,
+        **{"trainer.accumulate_grad_batches": 2,
+           "trainer.limit_train_batches": 3},
+    )
+    trainer = Trainer(cfg)
+    assert trainer.accumulate_grad_batches == 2
+    p_before = jax.device_get(trainer.params)
+    trainer.fit()
+    assert trainer.global_step == 3  # optimizer steps, not micro-batches
+    p_after = jax.device_get(trainer.params)
+    moved = np.abs(
+        np.asarray(p_after["nerf"]["radiance_field"]["hash"]["table"])
+        - np.asarray(p_before["nerf"]["radiance_field"]["hash"]["table"])
+    ).max()
+    assert moved > 0
+    ctrl = jax.device_get(trainer.ctrl)
+    assert int(ctrl["nonfinite_step"]) == -1
+
+
+def test_nan_guard_freezes_and_raises(dataset, tmp_path_factory):
+    """terminate_on_nan (run.py:94): a non-finite loss freezes all device
+    state at the offending step and the host raises at its next fetch."""
+    tmp = tmp_path_factory.mktemp("engine_nan")
+    cfg = tiny_config(dataset, tmp, **{"trainer.limit_train_batches": 2})
+    trainer = Trainer(cfg)
+
+    # poison one field parameter -> the rendered loss goes non-finite
+    params = jax.device_get(trainer.params)
+    table = np.asarray(
+        params["nerf"]["radiance_field"]["hash"]["table"]
+    ).copy()
+    table[:] = np.nan
+    params["nerf"]["radiance_field"]["hash"]["table"] = table
+    trainer.params = mesh_mod.put_replicated(params, trainer.mesh)
+
+    out = trainer.train_step(
+        trainer.params, trainer.opt_state, trainer.ctrl, trainer.buffers,
+        trainer.device_table, trainer.occ_state["binary"], trainer._key,
+    )
+    new_params, _, ctrl = out[0], out[1], out[2]
+    host_ctrl = jax.device_get(ctrl)
+    assert int(host_ctrl["nonfinite_step"]) == 0
+    # params frozen at their pre-step values (still the poisoned ones)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(
+            new_params["nerf"]["radiance_field"]["hash"]["table"]
+        )),
+        table,
+    )
+    # batch size controller frozen too
+    assert int(host_ctrl["batch_size"]) == int(
+        jax.device_get(trainer.ctrl)["batch_size"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(FloatingPointError, match="step 0"):
+        trainer._check_finite(host_ctrl)
+
+
+def test_checkpoint_embeds_full_hparams(trained):
+    """save_hyperparameters parity (robust_e_nerf.py:162-173): the
+    checkpoint carries the full run config + seed, not just the seed."""
+    path = trained.save_checkpoint()
+    hparams = ckpt_mod.load_hparams(path)
+    assert hparams["seed"] == trained.seed
+    cfg = hparams["config"]
+    assert cfg["model"]["nerf"]["arch"] == trained.config.model.nerf.arch
+    assert int(cfg["trainer"]["max_epochs"]) == trained.max_epochs
+    assert "data" in cfg and "loss" in cfg
+
+
+def test_eval_dataset_ratio_trims(dataset, tmp_path_factory):
+    """val/test_dataset_ratio semantics (datamodule.py:119-137): float =
+    fraction of the eval set, int = that many effective batches."""
+    tmp = tmp_path_factory.mktemp("engine_ratio")
+    cfg = tiny_config(
+        dataset, tmp,
+        **{"data.val_dataset_ratio": 0.5,
+           "data.test_dataset_ratio": 1,
+           "data.test_eff_batch_size": 1},
+    )
+    trainer = Trainer(cfg, logging_enabled=False)
+    assert len(trainer.model.val_stage.img) == 1   # 2 val views * 0.5
+    assert len(trainer.model.test_stage.img) == 1  # 1 batch * eff size 1
+    assert len(trainer.model.val_stage.sample_id) == 1

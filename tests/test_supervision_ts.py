@@ -19,6 +19,20 @@ def reference_formulas(start_ts, end_ts, n_ts_diff, n_diff_start, n_grad):
     return ts_diff, diff_start, diff_end, grad_ts
 
 
+def framework_offsets(interval, n_ts_diff, n_diff_start, n_grad):
+    """The offset-form derivation used in train_loss_fn: supervision times
+    as lo-word offsets from the event start."""
+    interval = jnp.asarray(interval)
+    ts_diff = interval * jnp.asarray(n_ts_diff)
+    off_start = jnp.asarray(n_diff_start) * jnp.maximum(
+        interval - ts_diff, 0.0
+    )
+    off_end = jnp.minimum(off_start + ts_diff, interval)
+    off_grad = tensor_ops.lerp(off_start, off_end, jnp.asarray(n_grad))
+    return (np.asarray(ts_diff), np.asarray(off_start),
+            np.asarray(off_end), np.asarray(off_grad))
+
+
 def test_supervision_ts_matches_reference(rng):
     n = 256
     start = rng.uniform(0, 10, n).astype(np.float32)
@@ -28,39 +42,30 @@ def test_supervision_ts_matches_reference(rng):
     n_diff_start = rng.uniform(0, 1, n).astype(np.float32)
     n_grad = rng.uniform(0, 1, n).astype(np.float32)
 
-    # framework path (as in train_loss_fn)
-    ts_diff = interval * n_ts_diff
-    diff_start = np.asarray(tensor_ops.lerp(
-        jnp.asarray(start),
-        jnp.maximum(jnp.asarray(end) - jnp.asarray(ts_diff),
-                    jnp.asarray(start)),
-        jnp.asarray(n_diff_start),
-    ))
-    diff_end = np.asarray(jnp.minimum(
-        jnp.asarray(diff_start) + jnp.asarray(ts_diff), jnp.asarray(end)
-    ))
-    grad_ts = np.asarray(tensor_ops.lerp(
-        jnp.asarray(diff_start), jnp.asarray(diff_end),
-        jnp.asarray(n_grad),
-    ))
+    ts_diff, off_start, off_end, off_grad = framework_offsets(
+        interval, n_ts_diff, n_diff_start, n_grad
+    )
+    diff_start = start + off_start
+    diff_end = start + off_end
+    grad_ts = start + off_grad
 
     exp_diff, exp_start, exp_end, exp_grad = reference_formulas(
         start, end, n_ts_diff, n_diff_start, n_grad
     )
-    # the framework carries `interval` exactly from the host instead of
-    # re-differencing rounded f32 absolute times, so it differs from the
-    # transcription by f32 subtraction rounding (and is the MORE precise
-    # of the two)
+    # the framework carries `interval` exactly from the host and derives
+    # offsets from it instead of re-differencing rounded f32 absolute
+    # times, so it differs from the transcription by f32 subtraction
+    # rounding (and is the MORE precise of the two)
     np.testing.assert_allclose(ts_diff, exp_diff, rtol=3e-5)
     np.testing.assert_allclose(diff_start, exp_start, rtol=1e-5,
                                atol=1e-6)
     np.testing.assert_allclose(diff_end, exp_end, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(grad_ts, exp_grad, rtol=1e-4, atol=1e-6)
     # invariants the reference's min/max guards establish
-    assert np.all(diff_start >= start - 1e-5)
-    assert np.all(diff_end <= end + 1e-5)
-    assert np.all(grad_ts >= diff_start - 1e-5)
-    assert np.all(grad_ts <= diff_end + 1e-5)
+    assert np.all(off_start >= 0)
+    assert np.all(off_end <= interval * (1 + 1e-6))
+    assert np.all(off_grad >= off_start - 1e-7)
+    assert np.all(off_grad <= off_end + 1e-7)
 
 
 def test_dirac_ts_diff_recovers_full_interval(rng):
@@ -68,19 +73,13 @@ def test_dirac_ts_diff_recovers_full_interval(rng):
     diff_start == start and diff_end == end regardless of the uniform
     sample."""
     n = 64
-    start = rng.uniform(0, 10, n).astype(np.float32)
     interval = rng.uniform(1e-3, 0.5, n).astype(np.float32)
-    end = start + interval
     u = rng.uniform(0, 1, n).astype(np.float32)
-    ts_diff = interval * 1.0
-    diff_start = np.asarray(tensor_ops.lerp(
-        jnp.asarray(start),
-        jnp.maximum(jnp.asarray(end - ts_diff), jnp.asarray(start)),
-        jnp.asarray(u),
-    ))
-    diff_end = np.minimum(diff_start + ts_diff, end)
-    np.testing.assert_allclose(diff_start, start, atol=1e-5)
-    np.testing.assert_allclose(diff_end, end, atol=1e-5)
+    _, off_start, off_end, _ = framework_offsets(
+        interval, np.ones(n, np.float32), u, u
+    )
+    np.testing.assert_allclose(off_start, 0.0, atol=1e-7)
+    np.testing.assert_allclose(off_end, interval, rtol=1e-7)
 
 
 def test_target_gradient_uses_effective_interval():
