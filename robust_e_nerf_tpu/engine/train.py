@@ -47,9 +47,12 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
     origins, directions = nerf_mod.pixel_params_to_ray(
         buffers["train_intrinsics_inv"], pixel_pos, position, rotation
     )
+    # the live rays are a prefix of the batch (valid = arange < count), so
+    # their count selects the march bucket (ops/ray_march.py)
+    n_valid = jnp.sum(ray_valid, dtype=jnp.int32)
     radiance, opacity, _depth, n_visible, _total = nerf_mod.render_rays(
         params["nerf"], occ_binary, buffers["aabb"], origins, directions,
-        ray_valid, spec.nerf, march_spec, key=key,
+        ray_valid, spec.nerf, march_spec, key=key, n_valid=n_valid,
     )
     intensity = radiance + spec.min_modeled_intensity  # (B, C)
     if spec.has_bayer:
@@ -453,11 +456,18 @@ def make_occ_update(spec: ModelSpec, warmup: bool):
     return occ_update
 
 
-def make_eval_chunk_fn(spec: ModelSpec):
+def make_eval_chunk_fn(spec: ModelSpec, mesh=None):
     """Jitted chunk renderer for full-image evaluation
-    (robust_e_nerf.py:533-571 + external/utils.py:99-105)."""
+    (robust_e_nerf.py:533-571 + external/utils.py:99-105).
 
-    @jax.jit
+    With a mesh, the chunk's rays are sharded over the data axis via
+    shard_map — every chip renders 1/num_chips of each eval chunk (the
+    TPU-native replacement for the reference's DistributedSampler eval
+    sharding, datamodule.py:233-272, without its divisibility caveat).
+    `eval_sample_capacity` is then a per-chip capacity.
+    """
+    from jax import shard_map
+
     def eval_chunk(params, buffers, occ_binary, intrinsics_inv, pixel_pos,
                    position, rotation, chunk_valid):
         num = pixel_pos.shape[0]
@@ -474,21 +484,48 @@ def make_eval_chunk_fn(spec: ModelSpec):
         intensity = radiance + spec.min_modeled_intensity
         return intensity, opacity, total
 
-    return eval_chunk
+    if mesh is None or mesh.size == 1:
+        return jax.jit(eval_chunk)
+
+    def sharded(params, buffers, occ_binary, intrinsics_inv, pixel_pos,
+                position, rotation, chunk_valid):
+        def per_chip(params, buffers, occ_binary, intrinsics_inv,
+                     pixel_pos, position, rotation, chunk_valid):
+            intensity, opacity, total = eval_chunk(
+                params, buffers, occ_binary, intrinsics_inv, pixel_pos,
+                position, rotation, chunk_valid,
+            )
+            return intensity, opacity, total[None]
+
+        return shard_map(
+            per_chip,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(DATA_AXIS), P(), P(),
+                      P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )(params, buffers, occ_binary, intrinsics_inv, pixel_pos,
+          position, rotation, chunk_valid)
+
+    return jax.jit(sharded)
 
 
-def render_image(params, buffers, occ_binary, spec: ModelSpec,
-                 eval_chunk_fn, intrinsics_inv, img_pixel_pos, position,
-                 rotation):
-    """Full-image render via host-chunked jitted calls.
+def render_image_dispatch(params, buffers, occ_binary, spec: ModelSpec,
+                          eval_chunk_fn, intrinsics_inv, img_pixel_pos,
+                          position, rotation, num_chips=1):
+    """Dispatch all of one image's eval chunks WITHOUT any host sync.
 
-    Returns (intensity (H, W, C) np.ndarray, overflow_samples int)."""
+    Returns (chunk_outputs [device arrays], totals [device scalars]); the
+    caller assembles with `assemble_image` after dispatching everything —
+    over a high-latency device link the pipelining matters more than the
+    per-chunk compute (ROADMAP round-1 #3).
+    """
     import numpy as np
 
-    height, width = img_pixel_pos.shape[:2]
     flat_pix = img_pixel_pos.reshape(-1, 2)
     num_rays = flat_pix.shape[0]
     chunk = spec.nerf.test_chunk_size
+    chunk = -(-chunk // num_chips) * num_chips  # divisible by the mesh
     pad = (-num_rays) % chunk
     if pad:
         flat_pix = np.concatenate(
@@ -496,15 +533,47 @@ def render_image(params, buffers, occ_binary, spec: ModelSpec,
         )
     valid_all = np.arange(num_rays + pad) < num_rays
 
-    outs = []
-    overflow = 0
+    intrinsics_inv = jnp.asarray(intrinsics_inv)
+    position = jnp.asarray(position)
+    rotation = jnp.asarray(rotation)
+    outs, totals = [], []
     for i in range(0, num_rays + pad, chunk):
         intensity, _opacity, total = eval_chunk_fn(
-            params, buffers, occ_binary, jnp.asarray(intrinsics_inv),
-            jnp.asarray(flat_pix[i:i + chunk]), jnp.asarray(position),
-            jnp.asarray(rotation), jnp.asarray(valid_all[i:i + chunk]),
+            params, buffers, occ_binary, intrinsics_inv,
+            jnp.asarray(flat_pix[i:i + chunk]), position, rotation,
+            jnp.asarray(valid_all[i:i + chunk]),
         )
-        overflow += max(0, int(total) - spec.nerf.march_eval.capacity)
-        outs.append(np.asarray(intensity))
-    img = np.concatenate(outs, axis=0)[:num_rays]
+        outs.append(intensity)
+        totals.append(total)
+    return outs, totals
+
+
+def assemble_image(chunk_outputs, totals, img_pixel_pos, spec: ModelSpec):
+    """Fetch dispatched chunks -> ((H, W, C) image, overflow sample count).
+
+    This is the only host sync of the eval render path.
+    """
+    import numpy as np
+
+    height, width = img_pixel_pos.shape[:2]
+    num_rays = height * width
+    img = np.concatenate(
+        [np.asarray(o) for o in chunk_outputs], axis=0
+    )[:num_rays]
+    capacity = spec.nerf.march_eval.capacity
+    overflow = sum(
+        max(0, int(t) - capacity)
+        for total in totals for t in np.atleast_1d(np.asarray(total))
+    )
     return img.reshape(height, width, -1), overflow
+
+
+def render_image(params, buffers, occ_binary, spec: ModelSpec,
+                 eval_chunk_fn, intrinsics_inv, img_pixel_pos, position,
+                 rotation, num_chips=1):
+    """Full-image render (dispatch + assemble in one call)."""
+    outs, totals = render_image_dispatch(
+        params, buffers, occ_binary, spec, eval_chunk_fn, intrinsics_inv,
+        img_pixel_pos, position, rotation, num_chips=num_chips,
+    )
+    return assemble_image(outs, totals, img_pixel_pos, spec)

@@ -138,7 +138,7 @@ class Trainer:
         self.train_step = None
         self.occ_update_warmup = train_mod.make_occ_update(spec, True)
         self.occ_update_sampled = train_mod.make_occ_update(spec, False)
-        self.eval_chunk_fn = train_mod.make_eval_chunk_fn(spec)
+        self.eval_chunk_fn = train_mod.make_eval_chunk_fn(spec, self.mesh)
 
         self.occ_state = occupancy.init_state(spec.nerf.occ)
         if self._pending_occ_restore is not None:
@@ -398,14 +398,23 @@ class Trainer:
                 self.config["model"]["eval_save_pred_intensity_img"]
             ) and stage_name == "test"
 
-        preds = []
-        total_overflow = 0
+        # two-phase render: dispatch every image's chunks asynchronously,
+        # then one fetch wave — over the high-latency device link this
+        # pipelines all eval compute behind a single round-trip train of
+        # fetches (round-1 ROADMAP #3)
+        dispatched = []
         for i in range(len(stage.img)):
-            img, overflow = train_mod.render_image(
+            dispatched.append(train_mod.render_image_dispatch(
                 self.params, self.buffers, self.occ_state["binary"],
                 self.spec, self.eval_chunk_fn, stage.intrinsics_inv,
                 stage.img_pixel_pos, stage.T_wc_position[i],
-                stage.T_wc_orientation[i],
+                stage.T_wc_orientation[i], num_chips=self.num_chips,
+            ))
+        preds = []
+        total_overflow = 0
+        for outs, totals in dispatched:
+            img, overflow = train_mod.assemble_image(
+                outs, totals, stage.img_pixel_pos, self.spec
             )
             total_overflow += overflow
             preds.append(img)

@@ -176,6 +176,7 @@ def render_rays(
     spec: NerfSpec,
     march_spec: ray_march.MarchSpec,
     key=None,       # stratified jitter (training)
+    n_valid=None,   # () int: live-ray count -> bucketed marching
 ):
     """Occupancy-accelerated volume rendering of a batch of rays.
 
@@ -187,7 +188,7 @@ def render_rays(
     num_rays = origins.shape[0]
     buf = ray_march.march_and_compact(
         origins, directions, ray_valid, occ_binary, aabb, spec.occ,
-        march_spec, key=key,
+        march_spec, key=key, n_valid=n_valid,
     )
     positions, dirs = ray_march.sample_positions(buf, origins, directions)
     radiance, sigma = fields.field_apply(

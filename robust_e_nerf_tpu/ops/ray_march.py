@@ -136,6 +136,122 @@ def _sample_lattice(t_min, step0, spec: MarchSpec):
     return t, delta
 
 
+def _march_prefix(origins, directions, t_min, t_max, step0, occ_binary,
+                  aabb, occ_spec, spec: MarchSpec, prefix):
+    """March the first `prefix` rays (a static bucket) and compact their
+    surviving samples; ray-level outputs are padded back to the full batch.
+
+    The lattice work — (prefix, S) occupancy probes, contraction math and
+    per-row cumsums — scales with the bucket, while the compaction work
+    scales with the fixed capacity K; rays beyond `prefix` were already
+    folded into t_max == t_min by the caller, so any bucket >= the valid
+    count is exact.
+    """
+    num_rays = origins.shape[0]
+    num_samples = spec.max_samples_per_ray
+    capacity = spec.capacity
+    uniform_lattice = spec.cone_angle <= 0.0
+
+    t_min_b = t_min[:prefix]
+    t_max_b = t_max[:prefix]
+    step0_b = step0[:prefix]
+
+    t_start, delta = _sample_lattice(t_min_b, step0_b, spec)  # (b, S)
+    t_mid = t_start + 0.5 * delta
+
+    # per-coordinate math: (b, S, 3) intermediates would be padded 42x
+    # by the TPU's (8, 128) tiling (docs/PERFORMANCE.md)
+    px = origins[:prefix, 0:1] + directions[:prefix, 0:1] * t_mid  # (b, S)
+    py = origins[:prefix, 1:2] + directions[:prefix, 1:2] * t_mid
+    pz = origins[:prefix, 2:3] + directions[:prefix, 2:3] * t_mid
+    cx, cy, cz = contraction_mod.contract_coords(
+        px, py, pz, aabb, spec.contraction_type
+    )
+    res = occ_spec.resolution
+    ix = jnp.clip((cx * res[0]).astype(jnp.int32), 0, res[0] - 1)
+    iy = jnp.clip((cy * res[1]).astype(jnp.int32), 0, res[1] - 1)
+    iz = jnp.clip((cz * res[2]).astype(jnp.int32), 0, res[2] - 1)
+    cell = ix * (res[1] * res[2]) + iy * res[2] + iz
+    occupied = occ_binary[cell]
+
+    in_range = (
+        (t_mid < t_max_b[:, None]) & (t_max_b[:, None] > t_min_b[:, None])
+    )
+    mask = in_range & occupied                            # (b, S)
+
+    # ---- gather-based compaction (ray-major, marching order) ----
+    # Work is O(b*S) elementwise + per-row scans plus O(K log S)
+    # gathers; no scatters and no flat b*S-length scan (both are slow
+    # on TPU).
+    within = jnp.cumsum(mask.astype(jnp.int32), axis=1)   # (b, S)
+    counts = within[:, -1]                                # (b,)
+
+    ends = jnp.cumsum(counts)                             # (b,) inclusive
+    starts = ends - counts
+    total = ends[-1]
+
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    # source ray of each output slot: first ray whose cumulative end
+    # exceeds the slot index (zero-count rays are skipped by side="right")
+    ray_idx = jnp.searchsorted(ends, slot, side="right").astype(jnp.int32)
+    ray_idx = jnp.minimum(ray_idx, prefix - 1)
+    ordinal = slot - starts[ray_idx]                      # j-th kept sample
+
+    # lower_bound: smallest s with within[ray, s] == ordinal + 1
+    within_flat = within.reshape(-1)
+    target = ordinal + 1
+    lo = jnp.zeros((capacity,), jnp.int32)
+    hi = jnp.full((capacity,), num_samples - 1, jnp.int32)
+    for _ in range(max(1, (num_samples - 1).bit_length())):
+        mid = (lo + hi) // 2
+        value = within_flat[ray_idx * num_samples + mid]
+        go_left = value >= target
+        hi = jnp.where(go_left, mid, hi)
+        lo = jnp.where(go_left, lo, mid + 1)
+    sample_idx = lo
+
+    valid = slot < total
+    if uniform_lattice:
+        # closed form: no (b, S) t arrays needed at all
+        gathered_t_start = (
+            t_min[ray_idx]
+            + (sample_idx.astype(jnp.float32) + step0[ray_idx])
+            * spec.render_step_size
+        )
+        gathered_delta = jnp.full(
+            (capacity,), spec.render_step_size, jnp.float32
+        )
+    else:
+        gathered_t_start = t_start[ray_idx, sample_idx]
+        gathered_delta = delta[ray_idx, sample_idx]
+
+    pad = num_rays - prefix
+    return {
+        "ray_idx": jnp.where(valid, ray_idx, 0),
+        "t_mid": jnp.where(
+            valid, gathered_t_start + 0.5 * gathered_delta, 0.0
+        ),
+        "delta": jnp.where(valid, gathered_delta, 0.0),
+        "valid": valid,
+        "ray_first": jnp.pad(
+            starts.astype(jnp.int32), (0, pad), constant_values=0
+        ),
+        "counts": jnp.pad(counts, (0, pad)),
+        "total": total,
+    }
+
+
+def _bucket_ladder(num_rays, min_bucket=256, levels=6):
+    """Static power-of-two ray-count buckets, ascending, ending at the full
+    batch."""
+    buckets = [num_rays]
+    b = num_rays
+    while len(buckets) < levels and (b + 1) // 2 >= min_bucket:
+        b = (b + 1) // 2
+        buckets.append(b)
+    return sorted(buckets)
+
+
 def march_and_compact(
     origins,            # (B, 3)
     directions,         # (B, 3)
@@ -145,8 +261,17 @@ def march_and_compact(
     occ_spec: occupancy.OccGridSpec,
     spec: MarchSpec,
     key=None,           # stratified jitter when not None (training)
+    n_valid=None,       # () int: rays [0, n_valid) are live -> bucketing
 ):
     """March all rays and compact surviving samples into the fixed buffer.
+
+    When `n_valid` (a device scalar counting live rays, which the training
+    batch keeps as a prefix) is given, the O(B*S) lattice work runs on the
+    smallest power-of-two ray bucket >= n_valid via lax.switch — the
+    fixed-shape answer to "the dynamic batch is usually far below the batch
+    capacity" (the controller targets budget / samples-per-ray, so at 300+
+    samples/ray the live count is ~10% of capacity).  All branches share
+    the compiled output shapes; only the selected branch executes.
 
     Returns a dict:
       ray_idx   (K,) int32   source ray of each buffered sample
@@ -159,7 +284,6 @@ def march_and_compact(
     """
     num_rays = origins.shape[0]
     num_samples = spec.max_samples_per_ray
-    capacity = spec.capacity
 
     if spec.contraction_type == contraction_mod.AABB:
         t_min, t_max = ray_aabb_intersect(origins, directions, aabb)
@@ -183,7 +307,7 @@ def march_and_compact(
         and num_rays % 64 == 0
         and num_samples % 128 == 0
     )
-    # ray_valid folds into t_max so both paths share it
+    # ray_valid folds into t_max so all paths share it
     t_max = jnp.where(ray_valid, t_max, t_min)
 
     if use_kernel:
@@ -204,50 +328,51 @@ def march_and_compact(
             spec.render_step_size,
             jax.default_backend() != "tpu",
         )
-        t_start = delta = None
         counts = within[:, -1]
-    else:
-        t_start, delta = _sample_lattice(t_min, step0, spec)  # (B, S)
-        t_mid = t_start + 0.5 * delta
-
-        # per-coordinate math: (B, S, 3) intermediates would be padded 42x
-        # by the TPU's (8, 128) tiling (docs/PERFORMANCE.md)
-        px = origins[:, 0:1] + directions[:, 0:1] * t_mid     # (B, S)
-        py = origins[:, 1:2] + directions[:, 1:2] * t_mid
-        pz = origins[:, 2:3] + directions[:, 2:3] * t_mid
-        cx, cy, cz = contraction_mod.contract_coords(
-            px, py, pz, aabb, spec.contraction_type
+        return _compact_from_within(
+            within, counts, t_min, step0, spec, num_rays
         )
-        res = occ_spec.resolution
-        ix = jnp.clip((cx * res[0]).astype(jnp.int32), 0, res[0] - 1)
-        iy = jnp.clip((cy * res[1]).astype(jnp.int32), 0, res[1] - 1)
-        iz = jnp.clip((cz * res[2]).astype(jnp.int32), 0, res[2] - 1)
-        cell = ix * (res[1] * res[2]) + iy * res[2] + iz
-        occupied = occ_binary[cell]
 
-        in_range = (
-            (t_mid < t_max[:, None]) & (t_max[:, None] > t_min[:, None])
+    impl_args = (origins, directions, t_min, t_max, step0)
+
+    if n_valid is None:
+        return _march_prefix(
+            *impl_args, occ_binary, aabb, occ_spec, spec, num_rays
         )
-        mask = in_range & occupied                            # (B, S)
 
-        # ---- gather-based compaction (ray-major, marching order) ----
-        # Work is O(B*S) elementwise + per-row scans plus O(K log S)
-        # gathers; no scatters and no flat B*S-length scan (both are slow
-        # on TPU).
-        within = jnp.cumsum(mask.astype(jnp.int32), axis=1)   # (B, S)
-        counts = within[:, -1]                                # (B,)
-    ends = jnp.cumsum(counts)                                # (B,) inclusive
+    buckets = _bucket_ladder(num_rays)
+    if len(buckets) == 1:
+        return _march_prefix(
+            *impl_args, occ_binary, aabb, occ_spec, spec, num_rays
+        )
+    branches = [
+        (lambda args, b=b: _march_prefix(
+            *args[:5], args[5], aabb, occ_spec, spec, b
+        ))
+        for b in buckets
+    ]
+    bucket_idx = sum(
+        (n_valid > b).astype(jnp.int32) for b in buckets[:-1]
+    )
+    return jax.lax.switch(
+        bucket_idx, branches, impl_args + (occ_binary,)
+    )
+
+
+def _compact_from_within(within, counts, t_min, step0, spec: MarchSpec,
+                         num_rays):
+    """Compaction for the Pallas-kernel path (uniform lattice only)."""
+    num_samples = spec.max_samples_per_ray
+    capacity = spec.capacity
+    ends = jnp.cumsum(counts)
     starts = ends - counts
     total = ends[-1]
 
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    # source ray of each output slot: first ray whose cumulative end
-    # exceeds the slot index (zero-count rays are skipped by side="right")
     ray_idx = jnp.searchsorted(ends, slot, side="right").astype(jnp.int32)
     ray_idx = jnp.minimum(ray_idx, num_rays - 1)
-    ordinal = slot - starts[ray_idx]                         # j-th kept sample
+    ordinal = slot - starts[ray_idx]
 
-    # lower_bound: smallest s with within[ray, s] == ordinal + 1
     within_flat = within.reshape(-1)
     target = ordinal + 1
     lo = jnp.zeros((capacity,), jnp.int32)
@@ -261,21 +386,14 @@ def march_and_compact(
     sample_idx = lo
 
     valid = slot < total
-    if uniform_lattice:
-        # closed form: no (B, S) t arrays needed at all
-        gathered_t_start = (
-            t_min[ray_idx]
-            + (sample_idx.astype(jnp.float32) + step0[ray_idx])
-            * spec.render_step_size
-        )
-        gathered_delta = jnp.full(
-            (capacity,), spec.render_step_size, jnp.float32
-        )
-    else:
-        gathered_t_start = t_start[ray_idx, sample_idx]
-        gathered_delta = delta[ray_idx, sample_idx]
-
-    buf = {
+    gathered_t_start = (
+        t_min[ray_idx]
+        + (sample_idx.astype(jnp.float32) + step0[ray_idx])
+        * spec.render_step_size
+    )
+    gathered_delta = jnp.full((capacity,), spec.render_step_size,
+                              jnp.float32)
+    return {
         "ray_idx": jnp.where(valid, ray_idx, 0),
         "t_mid": jnp.where(
             valid, gathered_t_start + 0.5 * gathered_delta, 0.0
@@ -286,7 +404,6 @@ def march_and_compact(
         "counts": counts,
         "total": total,
     }
-    return buf
 
 
 def sample_positions(buf, origins, directions):

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Reproduce + instrument the NGP post-warmup divergence (ROADMAP #8).
+
+Runs ngp on the sphere dataset at a given sample budget and prints, every
+occupancy update: loss, batch size, samples/ray, occupied-cell fraction,
+occs mean/max, and the density distribution at occupied cells.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("REN_TPU_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/ren_tpu_xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from robust_e_nerf_tpu.engine.trainer import Trainer
+    from robust_e_nerf_tpu.models import contraction, fields
+    from robust_e_nerf_tpu.utils.config import load_config
+
+    budget_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+
+    cfg = load_config(os.path.join(REPO, "configs", "train",
+                                   "tpu-sphere.yaml"))
+    cfg["data"]["dataset_directory"] = os.path.join(REPO, "datasets",
+                                                    "sphere")
+    cfg["data"]["train_eff_ray_sample_batch_size"] = 1 << budget_log2
+    cfg["data"]["train_ray_batch_capacity"] = 8192
+    cfg["model"]["nerf"]["arch"] = "ngp"
+    cfg["trainer"]["logger"] = False
+    cfg["trainer"]["checkpoint_callback"] = False
+
+    trainer = Trainer(cfg, logging_enabled=False)
+    spec = trainer.spec
+
+    # density probe at fixed cell centers (occupied ones reported)
+    occ_spec = spec.nerf.occ
+    res = occ_spec.resolution
+    idx = np.arange(occ_spec.num_cells)
+    z = idx % res[2]
+    y = (idx // res[2]) % res[1]
+    x = idx // (res[1] * res[2])
+    u = (np.stack([x, y, z], -1) + 0.5) / np.asarray(res)
+    centers = contraction.contract_inv(
+        jnp.asarray(u, jnp.float32), trainer.buffers["aabb"],
+        occ_spec.contraction_type, 3,
+    )
+
+    @jax.jit
+    def probe(params):
+        return fields.field_query_density(
+            params["nerf"]["radiance_field"], centers,
+            trainer.buffers["aabb"], spec.nerf.field,
+        ).reshape(-1)
+
+    state = (trainer.params, trainer.opt_state, trainer.ctrl)
+    for i in range(steps):
+        trainer.global_step = i
+        trainer.maybe_update_occ_grid()
+        state = trainer.train_step(
+            state[0], state[1], state[2], trainer.buffers,
+            trainer.device_table, trainer.occ_state["binary"],
+            trainer._key,
+        )
+        if i % 16 == 0 or i in (255, 257):
+            params, _opt, ctrl = state[0], state[1], state[2]
+            loss, aux = state[3], state[4]
+            host = jax.device_get({
+                "loss": loss,
+                "batch": aux["batch_size"],
+                "spr": aux["mean_num_samples_per_ray"],
+                "occs": trainer.occ_state["occs"],
+                "binary": trainer.occ_state["binary"],
+                "sigma": probe(params),
+            })
+            occs, binary = host["occs"], host["binary"]
+            sigma = host["sigma"]
+            occ_frac = binary.mean()
+            s_occ = sigma[binary] if binary.any() else np.zeros(1)
+            print(
+                f"step {i:4d} loss {float(host['loss']):8.4f} "
+                f"batch {int(host['batch']):5d} spr {float(host['spr']):6.1f} "
+                f"occ% {100*occ_frac:5.2f} occs(mean/max) "
+                f"{occs.mean():.2e}/{occs.max():.2e} "
+                f"sigma@occ(med/p99/max) {np.median(s_occ):.2e}/"
+                f"{np.percentile(s_occ, 99):.2e}/{s_occ.max():.2e}",
+                flush=True,
+            )
+        state = state[:3]
+
+
+if __name__ == "__main__":
+    main()

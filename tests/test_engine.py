@@ -298,3 +298,24 @@ def test_eval_dataset_ratio_trims(dataset, tmp_path_factory):
     assert len(trainer.model.val_stage.img) == 1   # 2 val views * 0.5
     assert len(trainer.model.test_stage.img) == 1  # 1 batch * eff size 1
     assert len(trainer.model.val_stage.sample_id) == 1
+
+
+def test_multichip_eval_matches_single(dataset, tmp_path_factory):
+    """Mesh-sharded eval chunks (make_eval_chunk_fn with a mesh) must give
+    the same metrics as the single-chip path."""
+    tmp = tmp_path_factory.mktemp("engine_mce")
+    cfg1 = tiny_config(dataset, tmp, **{"trainer.limit_train_batches": 1})
+    t1 = Trainer(cfg1, logging_enabled=False)
+    m1 = t1.run_evaluation("val")
+
+    cfg8 = tiny_config(
+        dataset, tmp,
+        **{"trainer.gpus": [0, 1, 2, 3, 4, 5, 6, 7],
+           "trainer.limit_train_batches": 1},
+    )
+    t8 = Trainer(cfg8, logging_enabled=False)
+    assert t8.num_chips == 8
+    # same params/occupancy in both trainers (same seed & init)
+    m8 = t8.run_evaluation("val")
+    for name in ("val/l1", "val/psnr", "val/ssim"):
+        assert abs(m1[name] - m8[name]) < 1e-4, (name, m1[name], m8[name])

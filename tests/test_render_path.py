@@ -233,3 +233,64 @@ def test_cone_marching_step_growth(cone_angle):
     assert t[-1] <= 10.0 + 0.5
     # step never below dt
     assert np.all(deltas >= 0.01 - 1e-6)
+
+
+def test_bucketed_march_matches_full(rng):
+    """march_and_compact(n_valid=...) (the lax.switch bucket path) must be
+    bit-identical to the full-batch path for any live-ray prefix."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robust_e_nerf_tpu.models import occupancy
+    from robust_e_nerf_tpu.ops import ray_march
+
+    num_rays, S = 640, 128
+    occ_spec = occupancy.OccGridSpec(
+        resolution=(16, 16, 16), contraction_type="aabb", occ_thre=1e-2,
+        ema_decay=0.95, warmup_steps=1, update_interval=16,
+    )
+    spec = ray_march.MarchSpec(
+        contraction_type="aabb", render_step_size=float(np.sqrt(3) * 3 / S),
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=S, capacity=4096,
+    )
+    aabb = jnp.asarray([-1.5, -1.5, -1.5, 1.5, 1.5, 1.5], jnp.float32)
+    occ = jnp.asarray(rng.random(16**3) < 0.4)
+
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    origins = jnp.asarray(
+        np.repeat([[-2.5, 0.1, -0.2]], num_rays, axis=0), jnp.float32
+    )
+    dirs = jax.random.normal(k1, (num_rays, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    for count in (1, 17, 256, 400, 640):
+        valid = jnp.arange(num_rays) < count
+        full = ray_march.march_and_compact(
+            origins, dirs, valid, occ, aabb, occ_spec, spec, key=k2
+        )
+        bucketed = ray_march.march_and_compact(
+            origins, dirs, valid, occ, aabb, occ_spec, spec, key=k2,
+            n_valid=jnp.int32(count),
+        )
+        assert int(full["total"]) == int(bucketed["total"])
+        for name in ("ray_idx", "valid", "counts"):
+            np.testing.assert_array_equal(
+                np.asarray(full[name]), np.asarray(bucketed[name]),
+                err_msg=f"{name} @ count={count}",
+            )
+        # float outputs may differ by 1 ulp across the two compilations
+        # (different fusion choices), never more
+        for name in ("t_mid", "delta"):
+            np.testing.assert_allclose(
+                np.asarray(full[name]), np.asarray(bucketed[name]),
+                rtol=1e-6, atol=1e-6, err_msg=f"{name} @ count={count}",
+            )
+        # ray_first only meaningful for rays with samples
+        counts = np.asarray(full["counts"])
+        np.testing.assert_array_equal(
+            np.asarray(full["ray_first"])[counts > 0],
+            np.asarray(bucketed["ray_first"])[counts > 0],
+        )

@@ -52,7 +52,9 @@ def test_encode_is_product_of_plane_and_line(rng):
         vm_grid._interp_2d(params["planes"][0], x[:, 0], x[:, 1],
                            meta.resolution)
     )
-    np.testing.assert_allclose(out[:, :4], 2.0 * plane0, rtol=1e-5)
+    # paired-row encode reassociates the bilinear sum -> ~1 ulp vs oracle
+    np.testing.assert_allclose(out[:, :4], 2.0 * plane0, rtol=1e-5,
+                               atol=1e-7)
 
 
 def test_gradients_and_jvp(rng):
