@@ -187,13 +187,30 @@ def _stamp_to_nsec(stamp):
 def preprocess_rosbag(rosbag_path, dataset_path, pos_contrast_threshold,
                       neg_contrast_threshold, refractory_period,
                       bayer_pattern):
+    preprocess_messages(
+        iter_bag_messages(rosbag_path, TOPICS), dataset_path,
+        pos_contrast_threshold, neg_contrast_threshold, refractory_period,
+        bayer_pattern,
+    )
+
+
+def preprocess_messages(messages, dataset_path, pos_contrast_threshold,
+                        neg_contrast_threshold, refractory_period,
+                        bayer_pattern):
+    """Core preprocessing over an iterable of (topic, msg) pairs.
+
+    Split from the bag reader so the full pipeline (IMU-synced pose
+    filtering, event time-span filtering, npz outputs) is testable without
+    a ROS installation; messages only need the rosbag/rosbags attribute
+    surface used below.
+    """
     event_position, event_timestamp, event_polarity = [], [], []
     pose_position, pose_orientation, pose_timestamp = [], [], []
     imu_timestamp = []
     img_height = img_width = None
     intrinsics = distortion_params = distortion_model = None
 
-    for topic, msg in iter_bag_messages(rosbag_path, TOPICS):
+    for topic, msg in messages:
         if topic == TOPICS[0]:  # events
             for event in msg.events:
                 event_position.append((event.x, event.y))
