@@ -222,3 +222,62 @@ def encode(table, x, meta: HashGridMeta):
     out = jnp.moveaxis(per_level, 0, 1).reshape(n, meta.output_dim)
     del num_corners
     return out.reshape(*batch_shape, meta.output_dim)
+
+
+def encode_batched(table, x, meta: HashGridMeta):
+    """`encode` with ALL levels' corner gathers fused into one flat gather.
+
+    The lax.scan variant issues L sequential (N, 8)-row gathers; fusing
+    them into a single (N, L*8)-row gather lets the memory system overlap
+    the random accesses across levels (same values, same table layout).
+    Linear interpolation only.
+    """
+    assert meta.interpolation == "Linear"
+    batch_shape = x.shape[:-1]
+    x = x.reshape(-1, meta.num_dim)
+    n = x.shape[0]
+    corners = _corner_offsets(meta.num_dim)  # (C, D) uint32
+    num_corners = corners.shape[0]
+    num_levels = meta.n_levels
+
+    level_scale = jnp.asarray(
+        [meta.base_resolution * meta.per_level_scale**l - 1.0
+         for l in range(num_levels)],
+        dtype=x.dtype,
+    )
+    level_res = jnp.asarray(meta.resolutions, dtype=jnp.uint32)
+    level_size = jnp.asarray(meta.sizes, dtype=jnp.uint32)
+    level_offset = jnp.asarray(meta.offsets, dtype=jnp.uint32)
+    level_hashed = jnp.asarray(meta.hashed)
+    tiled = meta.otype == "TiledGrid"
+
+    p = x[:, None, :] * level_scale[None, :, None] + 0.5   # (N, L, D)
+    p0 = jnp.floor(p)
+    w = p - p0                                              # (N, L, D)
+    p0 = jnp.clip(p0, 0.0, None).astype(jnp.uint32)
+    # (N, L, C, D) corner coordinates
+    corner_coords = p0[:, :, None, :] + corners[None, None, :, :]
+    idx = _level_indices(
+        corner_coords,
+        level_res[None, :, None],
+        level_size[None, :, None],
+        level_hashed[None, :, None],
+        tiled,
+    )                                                       # (N, L, C)
+    flat_idx = (level_offset[None, :, None] + idx).astype(jnp.int32)
+    gathered = table[flat_idx.reshape(n, num_levels * num_corners)]
+    gathered = gathered.reshape(
+        n, num_levels, num_corners, meta.n_features_per_level
+    )
+    corner_f = corners.astype(x.dtype)                      # (C, D)
+    weights = jnp.prod(
+        corner_f[None, None] * w[:, :, None, :]
+        + (1.0 - corner_f[None, None]) * (1.0 - w[:, :, None, :]),
+        axis=-1,
+    )                                                       # (N, L, C)
+    feats = jnp.einsum(
+        "nlc,nlcf->nlf", weights, gathered.astype(x.dtype),
+        preferred_element_type=x.dtype,
+    )
+    out = feats.reshape(n, meta.output_dim)
+    return out.reshape(*batch_shape, meta.output_dim)

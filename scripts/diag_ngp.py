@@ -59,14 +59,29 @@ def main():
     )
 
     @jax.jit
-    def probe(params):
-        return fields.field_query_density(
+    def stats(params, occ_state):
+        sigma = fields.field_query_density(
             params["nerf"]["radiance_field"], centers,
             trainer.buffers["aabb"], spec.nerf.field,
         ).reshape(-1)
+        occs = occ_state["occs"]
+        binary = occ_state["binary"]
+        nb = jnp.maximum(jnp.sum(binary), 1)
+        s_occ = jnp.where(binary, sigma, 0.0)
+        return {
+            "occ_frac": jnp.mean(binary.astype(jnp.float32)),
+            "occs_mean": jnp.mean(occs),
+            "occs_max": jnp.max(occs),
+            "sigma_occ_mean": jnp.sum(s_occ) / nb,
+            "sigma_occ_max": jnp.max(s_occ),
+            "sigma_max": jnp.max(sigma),
+        }
 
     state = (trainer.params, trainer.opt_state, trainer.ctrl)
     for i in range(steps):
+        # keep trainer.params current: the occupancy update must see the
+        # trained field, exactly like Trainer._fit_loop
+        trainer.params = state[0]
         trainer.global_step = i
         trainer.maybe_update_occ_grid()
         state = trainer.train_step(
@@ -74,28 +89,24 @@ def main():
             trainer.device_table, trainer.occ_state["binary"],
             trainer._key,
         )
-        if i % 16 == 0 or i in (255, 257):
+        if i % 16 == 0 or i in (255, 257, 259, 263):
             params, _opt, ctrl = state[0], state[1], state[2]
             loss, aux = state[3], state[4]
             host = jax.device_get({
                 "loss": loss,
                 "batch": aux["batch_size"],
                 "spr": aux["mean_num_samples_per_ray"],
-                "occs": trainer.occ_state["occs"],
-                "binary": trainer.occ_state["binary"],
-                "sigma": probe(params),
+                "stats": stats(params, trainer.occ_state),
             })
-            occs, binary = host["occs"], host["binary"]
-            sigma = host["sigma"]
-            occ_frac = binary.mean()
-            s_occ = sigma[binary] if binary.any() else np.zeros(1)
+            s = host["stats"]
             print(
                 f"step {i:4d} loss {float(host['loss']):8.4f} "
                 f"batch {int(host['batch']):5d} spr {float(host['spr']):6.1f} "
-                f"occ% {100*occ_frac:5.2f} occs(mean/max) "
-                f"{occs.mean():.2e}/{occs.max():.2e} "
-                f"sigma@occ(med/p99/max) {np.median(s_occ):.2e}/"
-                f"{np.percentile(s_occ, 99):.2e}/{s_occ.max():.2e}",
+                f"occ% {100*float(s['occ_frac']):5.2f} occs(mean/max) "
+                f"{float(s['occs_mean']):.2e}/{float(s['occs_max']):.2e} "
+                f"sigma@occ(mean/max) {float(s['sigma_occ_mean']):.2e}/"
+                f"{float(s['sigma_occ_max']):.2e} "
+                f"sigma_max {float(s['sigma_max']):.2e}",
                 flush=True,
             )
         state = state[:3]

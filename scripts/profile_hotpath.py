@@ -69,6 +69,7 @@ def main():
     # steady state: some warmup steps so occupancy/batch size settle
     state = (trainer.params, trainer.opt_state, trainer.ctrl)
     for i in range(20):
+        trainer.params = state[0]  # occ updates must see current params
         trainer.global_step = i
         trainer.maybe_update_occ_grid()
         state = trainer.train_step(

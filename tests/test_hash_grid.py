@@ -133,3 +133,23 @@ def test_tiled_grid_wraps(rng):
     x = jnp.asarray(rng.uniform(0, 1, size=(8, 3)).astype(np.float32))
     out = hash_grid.encode(table, x, meta)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_encode_batched_matches_scan(rng):
+    """encode_batched (single fused gather across levels) is value-
+    identical to the scan encode.  Measured on v5e it is ~20% slower
+    (docs/PERFORMANCE.md) and is kept as the documented negative result."""
+    import jax
+
+    from robust_e_nerf_tpu.ops import hash_grid
+
+    meta = hash_grid.build_meta({
+        "otype": "HashGrid", "n_levels": 6, "n_features_per_level": 2,
+        "log2_hashmap_size": 12, "base_resolution": 16,
+        "per_level_scale": 1.4472692012786865, "interpolation": "Linear",
+    })
+    table = hash_grid.init_table(jax.random.PRNGKey(0), meta)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (311, 3))
+    a = np.asarray(hash_grid.encode(table, x, meta))
+    b = np.asarray(hash_grid.encode_batched(table, x, meta))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
