@@ -103,8 +103,10 @@ def _lpips_alex_jax(weights, pred, target):
     ft = features(normalize_input(target))
     total = 0.0
     for i, (a, b) in enumerate(zip(fp, ft)):
-        a = a / jnp.sqrt(jnp.sum(a**2, axis=1, keepdims=True) + 1e-10)
-        b = b / jnp.sqrt(jnp.sum(b**2, axis=1, keepdims=True) + 1e-10)
+        # lpips 0.1.4 normalize_tensor: x / (sqrt(sum x^2) + eps) — the
+        # eps sits OUTSIDE the sqrt
+        a = a / (jnp.sqrt(jnp.sum(a**2, axis=1, keepdims=True)) + 1e-10)
+        b = b / (jnp.sqrt(jnp.sum(b**2, axis=1, keepdims=True)) + 1e-10)
         diff = (a - b) ** 2
         lin = jnp.asarray(weights[f"lin{i}_w"]).reshape(1, -1, 1, 1)
         # 1x1 conv to a scalar map, then spatial mean (lpips.py semantics)

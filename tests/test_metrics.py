@@ -101,3 +101,91 @@ def test_compute_metrics_shapes_and_lpips_gate():
     assert out["lpips"] is None
     assert out["psnr"] > 25
     assert 0 < out["ssim"] <= 1
+
+
+def test_lpips_jax_matches_torch_mirror(tmp_path, rng):
+    """The pure-JAX LPIPS must reproduce lpips-0.1.4's math exactly.
+
+    Real pretrained weights are unobtainable in this air-gapped image
+    (BASELINE.md), so the implementation is validated against a torch
+    mirror of the lpips 0.1.4 forward (scaling layer -> AlexNet feature
+    taps after each ReLU with 3x2 maxpools before convs 2/3 -> unit-
+    normalize with eps outside the sqrt -> squared diff -> 1x1 linear ->
+    spatial mean -> sum over layers) using RANDOM weights in the
+    scripts/convert_lpips.py npz format.  With converted real weights the
+    same code path reports the reference metric.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    from robust_e_nerf_tpu.loss_metric import lpips_jax
+
+    gen = torch.Generator().manual_seed(5)
+    convs = [(3, 64, 11, 4, 2), (64, 192, 5, 1, 2), (192, 384, 3, 1, 1),
+             (384, 256, 3, 1, 1), (256, 256, 3, 1, 1)]
+    weights = {}
+    for i, (cin, cout, k, _s, _p) in enumerate(convs):
+        weights[f"conv{i}_w"] = (
+            0.1 * torch.randn(cout, cin, k, k, generator=gen)
+        ).numpy()
+        weights[f"conv{i}_b"] = (
+            0.1 * torch.randn(cout, generator=gen)
+        ).numpy()
+        weights[f"lin{i}_w"] = torch.rand(
+            1, cout, 1, 1, generator=gen
+        ).numpy()
+    npz = tmp_path / "lpips_alex.npz"
+    np.savez(npz, **weights)
+
+    shift = torch.tensor([-.030, -.088, -.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([.458, .448, .450]).view(1, 3, 1, 1)
+
+    def torch_lpips(x, y):
+        def feats(z):
+            z = (z - shift) / scale
+            out = []
+            for i, (cin, cout, k, s, p) in enumerate(convs):
+                z = F.conv2d(
+                    z, torch.from_numpy(weights[f"conv{i}_w"]),
+                    torch.from_numpy(weights[f"conv{i}_b"]),
+                    stride=s, padding=p,
+                )
+                z = F.relu(z)
+                out.append(z)
+                if i in (0, 1):
+                    z = F.max_pool2d(z, kernel_size=3, stride=2)
+            return out
+
+        fx, fy = feats(x), feats(y)
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            a = a / (a.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            b = b / (b.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+            diff = (a - b) ** 2
+            lin = torch.from_numpy(weights[f"lin{i}_w"])
+            val = F.conv2d(diff, lin)          # (N, 1, H, W)
+            total = total + val.mean(dim=(2, 3))  # spatial average
+        return float(total.mean())
+
+    pred = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    target = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+
+    expected = torch_lpips(torch.from_numpy(pred),
+                           torch.from_numpy(target))
+    got = lpips_jax._lpips_alex_jax(
+        {k: np.asarray(v) for k, v in weights.items()}, pred, target
+    )
+    np.testing.assert_allclose(got, expected, rtol=2e-4)
+
+    # and the weights-file gate resolves to the JAX path
+    import os as _os
+
+    _os.environ["LPIPS_WEIGHTS_NPZ"] = str(npz)
+    try:
+        lpips_jax.get_lpips_fn.cache_clear()
+        fn = lpips_jax.get_lpips_fn("alex")
+        assert fn is not None
+        np.testing.assert_allclose(fn(pred, target), expected, rtol=2e-4)
+    finally:
+        del _os.environ["LPIPS_WEIGHTS_NPZ"]
+        lpips_jax.get_lpips_fn.cache_clear()
