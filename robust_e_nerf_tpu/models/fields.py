@@ -163,6 +163,7 @@ class NGPFieldSpec:
     radiance_dim: int
     num_dim: int = 3
     use_viewdirs: bool = True
+    remat: bool = False  # rematerialize field eval in the backward (memory)
 
 
 def build_ngp_spec(arch_config, contraction_type, radiance_dim, num_dim=3):
@@ -205,6 +206,10 @@ def build_ngp_spec(arch_config, contraction_type, radiance_dim, num_dim=3):
         contraction_type=contraction_type,
         radiance_dim=radiance_dim,
         num_dim=num_dim,
+        # the (K, L, 8, F) gather intermediates of a megasample render do
+        # not fit HBM as backward residuals (the reference's fused CUDA
+        # kernels never materialize them); remat recomputes them instead
+        remat=bool(arch_config.get("remat", True)),
     )
 
 
@@ -278,6 +283,7 @@ class TensoRFFieldSpec:
     radiance_dim: int
     num_dim: int = 3
     use_viewdirs: bool = True
+    remat: bool = False  # rematerialize field eval in the backward (memory)
 
 
 def build_tensorf_spec(arch_config, contraction_type, radiance_dim,
@@ -318,6 +324,7 @@ def build_tensorf_spec(arch_config, contraction_type, radiance_dim,
         contraction_type=contraction_type,
         radiance_dim=radiance_dim,
         num_dim=num_dim,
+        remat=bool(arch_config.get("remat", False)),
     )
 
 
@@ -375,6 +382,7 @@ class VanillaFieldSpec:
     contraction_type: str
     radiance_dim: int
     num_dim: int = 3
+    remat: bool = False  # rematerialize field eval in the backward (memory)
 
 
 def build_vanilla_spec(arch_config, contraction_type, radiance_dim,
@@ -425,6 +433,9 @@ def build_vanilla_spec(arch_config, contraction_type, radiance_dim,
         contraction_type=contraction_type,
         radiance_dim=radiance_dim,
         num_dim=num_dim,
+        # 8x256 trunk activations at megasample counts exceed HBM as
+        # backward residuals; recompute them instead
+        remat=bool(arch_config.get("remat", True)),
     )
 
 

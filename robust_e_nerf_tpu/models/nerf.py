@@ -191,8 +191,17 @@ def render_rays(
         march_spec, key=key, n_valid=n_valid,
     )
     positions, dirs = ray_march.sample_positions(buf, origins, directions)
-    radiance, sigma = fields.field_apply(
-        nerf_params["radiance_field"], positions, dirs, aabb, spec.field
+    field_fn = lambda p, x, d: fields.field_apply(  # noqa: E731
+        p, x, d, aabb, spec.field
+    )
+    if getattr(spec.field, "remat", False):
+        # rematerialize the field eval in the backward pass: megasample
+        # encode intermediates (hash-corner gathers, wide MLP activations)
+        # otherwise land in HBM as residuals and OOM at the reference
+        # 2^20 sample budget
+        field_fn = jax.checkpoint(field_fn)
+    radiance, sigma = field_fn(
+        nerf_params["radiance_field"], positions, dirs
     )
     bkgd = get_render_bkgd(nerf_params, spec)
     colors, opacity, depth, n_visible = composite_mod.composite(

@@ -136,22 +136,17 @@ def _sample_lattice(t_min, step0, spec: MarchSpec):
     return t, delta
 
 
-def _march_prefix(origins, directions, t_min, t_max, step0, occ_binary,
-                  aabb, occ_spec, spec: MarchSpec, prefix):
-    """March the first `prefix` rays (a static bucket) and compact their
-    surviving samples; ray-level outputs are padded back to the full batch.
+def _march_mask_prefix(origins, directions, t_min, t_max, step0,
+                       occ_binary, aabb, occ_spec, spec: MarchSpec,
+                       prefix):
+    """Lattice + occupancy mask for the first `prefix` rays (a static
+    bucket) -> bit-packed mask (words, cumulative popcounts).
 
-    The lattice work — (prefix, S) occupancy probes, contraction math and
-    per-row cumsums — scales with the bucket, while the compaction work
-    scales with the fixed capacity K; rays beyond `prefix` were already
-    folded into t_max == t_min by the caller, so any bucket >= the valid
+    The O(prefix x S) work — occupancy probes, contraction math, per-row
+    cumsums — scales with the bucket.  Rays beyond `prefix` were already
+    folded into t_max == t_min by the caller, so any bucket >= the live
     count is exact.
     """
-    num_rays = origins.shape[0]
-    num_samples = spec.max_samples_per_ray
-    capacity = spec.capacity
-    uniform_lattice = spec.cone_angle <= 0.0
-
     t_min_b = t_min[:prefix]
     t_max_b = t_max[:prefix]
     step0_b = step0[:prefix]
@@ -178,54 +173,134 @@ def _march_prefix(origins, directions, t_min, t_max, step0, occ_binary,
         (t_mid < t_max_b[:, None]) & (t_max_b[:, None] > t_min_b[:, None])
     )
     mask = in_range & occupied                            # (b, S)
+    return _pack_mask_words(mask)
 
-    # ---- gather-based compaction (ray-major, marching order) ----
-    # Work is O(b*S) elementwise + per-row scans plus O(K log S)
-    # gathers; no scatters and no flat b*S-length scan (both are slow
-    # on TPU).
-    within = jnp.cumsum(mask.astype(jnp.int32), axis=1)   # (b, S)
-    counts = within[:, -1]                                # (b,)
 
+WORD_BITS = 32
+
+
+def _pack_mask_words(mask):
+    """(b, S) bool mask -> (words (b, W) uint32, cum_words (b, W) int32).
+
+    Bit-packing shrinks the compaction's search space 32x: the cumulative
+    popcounts (b, W) replace the (b, S) int32 cumsum (128x less memory),
+    and the final bit position is resolved from the gathered word in
+    registers (lax.population_count bisection) instead of more gathers.
+    """
+    b, num_samples = mask.shape
+    num_words = -(-num_samples // WORD_BITS)
+    pad = num_words * WORD_BITS - num_samples
+    bits = mask.astype(jnp.uint32)
+    if pad:
+        bits = jnp.pad(bits, ((0, 0), (0, pad)))
+    bits = bits.reshape(b, num_words, WORD_BITS)
+    weights = (jnp.uint32(1) << jnp.arange(WORD_BITS, dtype=jnp.uint32))
+    words = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+    cum_words = jnp.cumsum(
+        jax.lax.population_count(words).astype(jnp.int32), axis=1
+    )
+    return words, cum_words
+
+
+def _select_bit(word, j):
+    """Index of the j-th (1-based) set bit of a uint32, by bisection on
+    prefix popcounts — pure vector ops, no memory traffic."""
+    pos = jnp.zeros_like(j)
+    for width in (16, 8, 4, 2, 1):
+        low_mask = (
+            (jnp.uint32(1) << (pos + width).astype(jnp.uint32))
+            - jnp.uint32(1)
+        )
+        in_prefix = jax.lax.population_count(
+            word & low_mask
+        ).astype(jnp.int32) >= j
+        pos = jnp.where(in_prefix, pos, pos + width)
+    return pos
+
+
+def _lattice_t_at(t_min_g, step0_g, sample_idx, spec: MarchSpec):
+    """(t_start, delta) of lattice sample `sample_idx`, element-wise.
+
+    The closed form of `_sample_lattice` evaluated at gathered positions,
+    so compaction never needs the (B, S) t arrays — for both the uniform
+    and the cone (geometric-tail) lattice.
+    """
+    i = sample_idx.astype(jnp.float32)
+    dt = spec.render_step_size
+    if spec.cone_angle <= 0.0:
+        t = t_min_g + (i + step0_g) * dt
+        return t, jnp.full_like(t, dt)
+    cone = spec.cone_angle
+    start = t_min_g + step0_g * dt
+    t_lin = dt / cone
+    n_lin = jnp.ceil(jnp.maximum(t_lin - start, 0.0) / dt)
+    t_linear = start + i * dt
+    geo_start = start + n_lin * dt
+    t_geo = geo_start * (1.0 + cone) ** jnp.maximum(i - n_lin, 0.0)
+    t = jnp.where(i < n_lin, t_linear, t_geo)
+    delta = jnp.maximum(t * cone, dt)
+    return t, delta
+
+
+def _compact_from_words(words, cum_words, t_min, step0,
+                        spec: MarchSpec, num_rays):
+    """Gather-based compaction from the bit-packed mask into the
+    fixed-capacity sample buffer — ray-major, marching order.
+
+    Per output slot: TWO gathers total (the packed word and its
+    cumulative popcount) — the ray search and the word search are both
+    replaced by scatters of the b ray ends / b*W word boundaries into
+    slot space followed by cumsums (the queries are arange(K), so
+    searchsorted degenerates to a histogram).  The bit position within
+    the word resolves in registers via popcount bisection.  t values are
+    recomputed analytically (`_lattice_t_at`), so nothing (b, S)-shaped
+    survives the mask stage.
+    """
+    capacity = spec.capacity
+    prefix, num_words = words.shape
+    counts = cum_words[:, -1]
     ends = jnp.cumsum(counts)                             # (b,) inclusive
     starts = ends - counts
     total = ends[-1]
 
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    # source ray of each output slot: first ray whose cumulative end
-    # exceeds the slot index (zero-count rays are skipped by side="right")
-    ray_idx = jnp.searchsorted(ends, slot, side="right").astype(jnp.int32)
+    # Source ray of each output slot = #rays with ends <= slot.  Because
+    # `slot` is just arange(K), this searchsorted is a SCATTER of the b ray
+    # ends into slot space + a cumsum — b rows instead of K log b gathers.
+    ray_marks = jnp.zeros((capacity + 1,), jnp.int32).at[
+        jnp.clip(ends, 0, capacity)
+    ].add(1)
+    ray_idx = jnp.cumsum(ray_marks)[:capacity]
     ray_idx = jnp.minimum(ray_idx, prefix - 1)
     ordinal = slot - starts[ray_idx]                      # j-th kept sample
-
-    # lower_bound: smallest s with within[ray, s] == ordinal + 1
-    within_flat = within.reshape(-1)
     target = ordinal + 1
-    lo = jnp.zeros((capacity,), jnp.int32)
-    hi = jnp.full((capacity,), num_samples - 1, jnp.int32)
-    for _ in range(max(1, (num_samples - 1).bit_length())):
-        mid = (lo + hi) // 2
-        value = within_flat[ray_idx * num_samples + mid]
-        go_left = value >= target
-        hi = jnp.where(go_left, mid, hi)
-        lo = jnp.where(go_left, lo, mid + 1)
-    sample_idx = lo
+
+    # Word of the target bit = #words of this ray whose cumulative
+    # popcount <= ordinal.  Same trick one level down: scatter every
+    # (ray, word) boundary position starts[ray] + cum_words[ray, word]
+    # into slot space; the cumulative mark count at `slot` counts all
+    # boundary marks <= slot, which is (full words of finished rays =
+    # num_words * ray_idx) + (this ray's words with cum <= ordinal).
+    word_positions = jnp.clip(
+        starts[:, None] + cum_words, 0, capacity
+    ).reshape(-1)
+    word_marks = jnp.zeros((capacity + 1,), jnp.int32).at[
+        word_positions
+    ].add(1)
+    word_idx = jnp.cumsum(word_marks)[:capacity] - num_words * ray_idx
+    word_idx = jnp.clip(word_idx, 0, num_words - 1)
+
+    row_base = ray_idx * num_words
+    word = words.reshape(-1)[row_base + word_idx]
+    cum_at = cum_words.reshape(-1)[row_base + word_idx]
+    before = cum_at - jax.lax.population_count(word).astype(jnp.int32)
+    bit = _select_bit(word, target - before)
+    sample_idx = word_idx * WORD_BITS + bit
 
     valid = slot < total
-    if uniform_lattice:
-        # closed form: no (b, S) t arrays needed at all
-        gathered_t_start = (
-            t_min[ray_idx]
-            + (sample_idx.astype(jnp.float32) + step0[ray_idx])
-            * spec.render_step_size
-        )
-        gathered_delta = jnp.full(
-            (capacity,), spec.render_step_size, jnp.float32
-        )
-    else:
-        gathered_t_start = t_start[ray_idx, sample_idx]
-        gathered_delta = delta[ray_idx, sample_idx]
-
-    pad = num_rays - prefix
+    gathered_t_start, gathered_delta = _lattice_t_at(
+        t_min[ray_idx], step0[ray_idx], sample_idx, spec
+    )
     return {
         "ray_idx": jnp.where(valid, ray_idx, 0),
         "t_mid": jnp.where(
@@ -233,12 +308,40 @@ def _march_prefix(origins, directions, t_min, t_max, step0, occ_binary,
         ),
         "delta": jnp.where(valid, gathered_delta, 0.0),
         "valid": valid,
-        "ray_first": jnp.pad(
-            starts.astype(jnp.int32), (0, pad), constant_values=0
-        ),
-        "counts": jnp.pad(counts, (0, pad)),
+        "ray_first": starts.astype(jnp.int32),
+        "counts": counts,
         "total": total,
     }
+
+
+def _compact_from_within(within, t_min, step0, spec: MarchSpec, num_rays):
+    """Adapter for callers holding a sample-level mask cumsum (the Pallas
+    march kernel): rebuild the mask, bit-pack, compact."""
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(within[:, :1]), within[:, :-1]], axis=1
+    )
+    mask = within > shifted
+    words, cum_words = _pack_mask_words(mask)
+    return _compact_from_words(words, cum_words, t_min, step0, spec,
+                               num_rays)
+
+
+def _march_prefix(origins, directions, t_min, t_max, step0, occ_binary,
+                  aabb, occ_spec, spec: MarchSpec, prefix):
+    """March a static ray bucket and compact; ray-level outputs padded back
+    to the full batch so every bucket branch shares output shapes."""
+    num_rays = origins.shape[0]
+    words, cum_words = _march_mask_prefix(
+        origins, directions, t_min, t_max, step0, occ_binary, aabb,
+        occ_spec, spec, prefix,
+    )
+    buf = _compact_from_words(words, cum_words, t_min, step0, spec,
+                              num_rays)
+    pad = num_rays - prefix
+    if pad:
+        buf["ray_first"] = jnp.pad(buf["ray_first"], (0, pad))
+        buf["counts"] = jnp.pad(buf["counts"], (0, pad))
+    return buf
 
 
 def _bucket_ladder(num_rays, min_bucket=256, levels=6):
@@ -272,6 +375,10 @@ def march_and_compact(
     capacity" (the controller targets budget / samples-per-ray, so at 300+
     samples/ray the live count is ~10% of capacity).  All branches share
     the compiled output shapes; only the selected branch executes.
+    Compaction stays inside each branch so its search gathers read the
+    bucket-sized cumsum (measured faster than a shared full-batch
+    compaction), while the fori_loop search keeps the per-branch graph
+    small enough to compile at megasample capacities.
 
     Returns a dict:
       ray_idx   (K,) int32   source ray of each buffered sample
@@ -328,82 +435,31 @@ def march_and_compact(
             spec.render_step_size,
             jax.default_backend() != "tpu",
         )
-        counts = within[:, -1]
-        return _compact_from_within(
-            within, counts, t_min, step0, spec, num_rays
-        )
-
-    impl_args = (origins, directions, t_min, t_max, step0)
+        return _compact_from_within(within, t_min, step0, spec, num_rays)
 
     if n_valid is None:
         return _march_prefix(
-            *impl_args, occ_binary, aabb, occ_spec, spec, num_rays
+            origins, directions, t_min, t_max, step0, occ_binary, aabb,
+            occ_spec, spec, num_rays,
         )
 
     buckets = _bucket_ladder(num_rays)
     if len(buckets) == 1:
         return _march_prefix(
-            *impl_args, occ_binary, aabb, occ_spec, spec, num_rays
+            origins, directions, t_min, t_max, step0, occ_binary, aabb,
+            occ_spec, spec, num_rays,
         )
     branches = [
-        (lambda args, b=b: _march_prefix(
-            *args[:5], args[5], aabb, occ_spec, spec, b
-        ))
+        (lambda args, b=b: _march_prefix(*args, aabb, occ_spec, spec, b))
         for b in buckets
     ]
     bucket_idx = sum(
         (n_valid > b).astype(jnp.int32) for b in buckets[:-1]
     )
     return jax.lax.switch(
-        bucket_idx, branches, impl_args + (occ_binary,)
+        bucket_idx, branches,
+        (origins, directions, t_min, t_max, step0, occ_binary),
     )
-
-
-def _compact_from_within(within, counts, t_min, step0, spec: MarchSpec,
-                         num_rays):
-    """Compaction for the Pallas-kernel path (uniform lattice only)."""
-    num_samples = spec.max_samples_per_ray
-    capacity = spec.capacity
-    ends = jnp.cumsum(counts)
-    starts = ends - counts
-    total = ends[-1]
-
-    slot = jnp.arange(capacity, dtype=jnp.int32)
-    ray_idx = jnp.searchsorted(ends, slot, side="right").astype(jnp.int32)
-    ray_idx = jnp.minimum(ray_idx, num_rays - 1)
-    ordinal = slot - starts[ray_idx]
-
-    within_flat = within.reshape(-1)
-    target = ordinal + 1
-    lo = jnp.zeros((capacity,), jnp.int32)
-    hi = jnp.full((capacity,), num_samples - 1, jnp.int32)
-    for _ in range(max(1, (num_samples - 1).bit_length())):
-        mid = (lo + hi) // 2
-        value = within_flat[ray_idx * num_samples + mid]
-        go_left = value >= target
-        hi = jnp.where(go_left, mid, hi)
-        lo = jnp.where(go_left, lo, mid + 1)
-    sample_idx = lo
-
-    valid = slot < total
-    gathered_t_start = (
-        t_min[ray_idx]
-        + (sample_idx.astype(jnp.float32) + step0[ray_idx])
-        * spec.render_step_size
-    )
-    gathered_delta = jnp.full((capacity,), spec.render_step_size,
-                              jnp.float32)
-    return {
-        "ray_idx": jnp.where(valid, ray_idx, 0),
-        "t_mid": jnp.where(
-            valid, gathered_t_start + 0.5 * gathered_delta, 0.0
-        ),
-        "delta": jnp.where(valid, gathered_delta, 0.0),
-        "valid": valid,
-        "ray_first": starts.astype(jnp.int32),
-        "counts": counts,
-        "total": total,
-    }
 
 
 def sample_positions(buf, origins, directions):

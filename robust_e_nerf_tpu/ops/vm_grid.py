@@ -119,9 +119,27 @@ def _pair_rows(table):
     return jnp.concatenate([table, shifted], axis=-1)
 
 
-def _interp_2d_paired(pair_table, u, v, resolution, n_comp):
-    """Bilinear interpolation from a row-paired plane: 2 gathers/sample
-    (v-corner pairs share a packed row) instead of 4."""
+def _quad_rows(table, resolution):
+    """(R*R, C) plane -> (R*R, 4C) where row r packs the full bilinear
+    footprint [r, r+1, r+R, r+R+1].
+
+    4x storage (rebuilt per call as stream copies, ~free) buys ONE gathered
+    row per plane per sample instead of four; valid bases (iu, iv <= R-2)
+    never touch the shifted tails.  Autodiff folds the four gradient
+    slices back into the base table with shifted adds.
+    """
+    down = jnp.concatenate([table[1:], table[-1:]], axis=0)
+    right = jnp.concatenate(
+        [table[resolution:], table[-resolution:]], axis=0
+    )
+    right_down = jnp.concatenate(
+        [down[resolution:], down[-resolution:]], axis=0
+    )
+    return jnp.concatenate([table, down, right, right_down], axis=-1)
+
+
+def _interp_2d_quad(quad_table, u, v, resolution, n_comp):
+    """Bilinear interpolation from a quad-packed plane: 1 gather/sample."""
     pu = u * (resolution - 1)
     pv = v * (resolution - 1)
     u0 = jnp.clip(jnp.floor(pu), 0, resolution - 2)
@@ -131,10 +149,13 @@ def _interp_2d_paired(pair_table, u, v, resolution, n_comp):
     iu = u0.astype(jnp.int32)
     iv = v0.astype(jnp.int32)
     base = iu * resolution + iv
-    p0 = pair_table[base]                      # [v00 | v01]
-    p1 = pair_table[base + resolution]         # [v10 | v11]
-    row0 = p0[:, :n_comp] * (1 - wv) + p0[:, n_comp:] * wv
-    row1 = p1[:, :n_comp] * (1 - wv) + p1[:, n_comp:] * wv
+    q = quad_table[base]                       # [v00 | v01 | v10 | v11]
+    v00 = q[:, 0 * n_comp:1 * n_comp]
+    v01 = q[:, 1 * n_comp:2 * n_comp]
+    v10 = q[:, 2 * n_comp:3 * n_comp]
+    v11 = q[:, 3 * n_comp:4 * n_comp]
+    row0 = v00 * (1 - wv) + v01 * wv
+    row1 = v10 * (1 - wv) + v11 * wv
     return row0 * (1 - wu) + row1 * wu
 
 
@@ -151,9 +172,9 @@ def _interp_1d_paired(pair_table, coord, resolution, n_comp):
 def encode(params, x, meta: VMGridMeta):
     """Positions (..., 3) in [0,1]^3 -> (..., 3 * n_components) features.
 
-    Uses row-paired tables: 2 plane gathers + 1 line gather per component
-    triple = 9 gathered rows/sample (vs 18 unpaired); values match the
-    unpaired path up to fp reassociation (~1 ulp).
+    Uses packed tables: 1 quad-packed plane gather + 1 paired line gather
+    per component triple = 6 gathered rows/sample (vs 18 unpacked); values
+    match the unpacked path up to fp reassociation (~1 ulp).
     """
     batch_shape = x.shape[:-1]
     x = x.reshape(-1, meta.num_dim)
@@ -161,9 +182,9 @@ def encode(params, x, meta: VMGridMeta):
     n_comp = meta.n_components
     feats = []
     for k, ((a, b), c) in enumerate(_PROJECTIONS):
-        plane_feat = _interp_2d_paired(
-            _pair_rows(params["planes"][k]), x[:, a], x[:, b],
-            meta.resolution, n_comp,
+        plane_feat = _interp_2d_quad(
+            _quad_rows(params["planes"][k], meta.resolution),
+            x[:, a], x[:, b], meta.resolution, n_comp,
         )
         line_feat = _interp_1d_paired(
             _pair_rows(params["lines"][k]), x[:, c],

@@ -143,3 +143,25 @@ def test_tensorf_can_fit_a_density_bump(rng):
         updates, state = opt.update(grads, state)
         params = optax.apply_updates(params, updates)
     assert float(loss_fn(params)) < 0.3 * loss0
+
+
+def test_quad_packed_plane_matches_direct(rng):
+    """_interp_2d_quad (1 gather) == _interp_2d (4 gathers) exactly up to
+    fp reassociation, including cells at the grid borders."""
+    meta = vm_grid.build_meta(CFG)
+    params = vm_grid.init_params(jax.random.PRNGKey(9), meta)
+    # include exact-corner and border positions
+    x = np.concatenate([
+        rng.uniform(0, 1, (64, 2)),
+        [[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [1.0, 0.0], [0.5, 0.5]],
+    ]).astype(np.float32)
+    u, v = jnp.asarray(x[:, 0]), jnp.asarray(x[:, 1])
+    plane = params["planes"][0]
+    direct = np.asarray(
+        vm_grid._interp_2d(plane, u, v, meta.resolution)
+    )
+    quad = np.asarray(vm_grid._interp_2d_quad(
+        vm_grid._quad_rows(plane, meta.resolution), u, v,
+        meta.resolution, meta.n_components,
+    ))
+    np.testing.assert_allclose(quad, direct, rtol=1e-5, atol=1e-7)
