@@ -214,8 +214,13 @@ def encode(table, x, meta: HashGridMeta):
             )
         return carry, feats
 
+    # checkpoint the level body: the scan would otherwise stack every
+    # level's corner gathers/weights as (L, N, 8[, F]) backward residuals,
+    # which the TPU pads 16x on the trailing axis (10+ GB at megasample
+    # budgets); recomputing each level's gathers in the backward scan
+    # keeps peak memory at one level's working set
     _, per_level = jax.lax.scan(
-        level_features,
+        jax.checkpoint(level_features),
         None,
         (level_scale, level_res, level_size, level_offset, level_hashed),
     )  # (L, N, F)
