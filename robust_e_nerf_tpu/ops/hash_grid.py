@@ -161,11 +161,82 @@ def _level_indices(corner_coords, resolution, size, use_hash, tiled):
     return index
 
 
+def _packed_dense_level(table, x, meta: HashGridMeta, level):
+    """One dense level's features via the flat-shift footprint pack.
+
+    For a dense (strided) level, corner (dx, dy, dz) sits at flat offset
+    s = dx + dy*res + dz*res**2 from the base corner — including the
+    out-of-range wraparound cases, which the flat strided arithmetic maps
+    to exactly the same rows the per-corner gather would read.  So the
+    8-corner footprint table is 8 *slices* of the flat parameter table
+    (streaming copies; the transpose is 8 slice-adds), and each sample
+    needs ONE gathered (8*F)-wide row instead of 8 F-wide rows.  TPU row
+    gathers are priced per row nearly independent of width
+    (docs/PERFORMANCE.md), so this is ~8x cheaper on both the encode
+    gather and the table-gradient scatter for dense levels.  Bit-exact
+    with the per-corner path (same rows, same weights).
+    """
+    res = meta.resolutions[level]
+    offset = meta.offsets[level]
+    scale = meta.base_resolution * meta.per_level_scale**level - 1.0
+    corners = _corner_offsets(meta.num_dim)
+    num_corners = corners.shape[0]
+    n = x.shape[0]
+
+    p = x * jnp.asarray(scale, x.dtype) + 0.5
+    p0 = jnp.floor(p)
+    w = p - p0
+    if meta.interpolation == "Smoothstep":
+        w = w * w * (3.0 - 2.0 * w)
+    p0 = jnp.clip(p0, 0.0, None).astype(jnp.uint32)
+
+    base_idx = jnp.zeros((n,), dtype=jnp.uint32)
+    stride = 1
+    for d in range(meta.num_dim):
+        base_idx = base_idx + p0[:, d] * jnp.uint32(stride)
+        stride *= res
+
+    num_rows = res**meta.num_dim
+    corners_np = np.stack(
+        np.meshgrid(*([np.arange(2)] * meta.num_dim), indexing="ij"),
+        axis=-1,
+    ).reshape(-1, meta.num_dim)
+    shifts = [
+        int(sum(int(c) * res**d for d, c in enumerate(corner)))
+        for corner in corners_np
+    ]
+    footprint = jnp.concatenate(
+        [
+            jax.lax.dynamic_slice_in_dim(table, offset + s, num_rows, 0)
+            for s in shifts
+        ],
+        axis=-1,
+    )  # (res**3, C*F)
+    rows = footprint[
+        jnp.clip(base_idx, 0, num_rows - 1).astype(jnp.int32)
+    ].reshape(n, num_corners, meta.n_features_per_level)
+
+    corner_f = corners.astype(x.dtype)
+    weights = jnp.prod(
+        corner_f[None] * w[:, None, :]
+        + (1.0 - corner_f[None]) * (1.0 - w[:, None, :]),
+        axis=-1,
+    )  # (N, C)
+    return jnp.einsum(
+        "nc,ncf->nf", weights, rows, preferred_element_type=table.dtype
+    )
+
+
 def encode(table, x, meta: HashGridMeta):
     """Encode positions x (..., D) in [0, 1]^D -> (..., L * F) features.
 
     Out-of-range positions still produce features (the field's `selector`
     zeroes out-of-bounds densities downstream, ngp.py:238,249).
+
+    Dense (non-hashed) Linear/Smoothstep levels take the packed-footprint
+    fast path (`_packed_dense_level`); hashed levels scan with per-corner
+    gathers (their corner rows are spatially unrelated, so no packing is
+    possible without changing the hash scheme).
     """
     batch_shape = x.shape[:-1]
     x = x.reshape(-1, meta.num_dim)
@@ -173,18 +244,39 @@ def encode(table, x, meta: HashGridMeta):
     corners = _corner_offsets(meta.num_dim)  # (C, D) uint32
     num_corners = corners.shape[0]
 
-    level_scale = jnp.asarray(
-        [meta.base_resolution * meta.per_level_scale**l - 1.0
-         for l in range(meta.n_levels)],
-        dtype=x.dtype,
-    )
-    level_res = jnp.asarray(meta.resolutions, dtype=jnp.uint32)
-    level_size = jnp.asarray(meta.sizes, dtype=jnp.uint32)
-    level_offset = jnp.asarray(meta.offsets, dtype=jnp.uint32)
-    level_hashed = jnp.asarray(meta.hashed)
-
     tiled = meta.otype == "TiledGrid"
     interpolation = meta.interpolation
+
+    packed_levels = []
+    if interpolation in ("Linear", "Smoothstep") and not tiled:
+        packed_levels = [
+            l for l in range(meta.n_levels)
+            if not meta.hashed[l]
+            # base+shift slices must stay inside the table: the slice for
+            # the top corner spans [offset + s_max, offset + s_max + res^3)
+            and meta.offsets[l] + meta.resolutions[l] ** meta.num_dim
+            + sum(meta.resolutions[l] ** d for d in range(meta.num_dim))
+            <= meta.total_entries
+        ]
+    scan_levels = [
+        l for l in range(meta.n_levels) if l not in packed_levels
+    ]
+
+    level_scale = jnp.asarray(
+        [meta.base_resolution * meta.per_level_scale**l - 1.0
+         for l in scan_levels],
+        dtype=x.dtype,
+    )
+    level_res = jnp.asarray(
+        [meta.resolutions[l] for l in scan_levels], dtype=jnp.uint32
+    )
+    level_size = jnp.asarray(
+        [meta.sizes[l] for l in scan_levels], dtype=jnp.uint32
+    )
+    level_offset = jnp.asarray(
+        [meta.offsets[l] for l in scan_levels], dtype=jnp.uint32
+    )
+    level_hashed = jnp.asarray([meta.hashed[l] for l in scan_levels])
 
     def level_features(carry, level_consts):
         scale, res, size, offset, use_hash = level_consts
@@ -214,17 +306,31 @@ def encode(table, x, meta: HashGridMeta):
             )
         return carry, feats
 
-    # checkpoint the level body: the scan would otherwise stack every
-    # level's corner gathers/weights as (L, N, 8[, F]) backward residuals,
-    # which the TPU pads 16x on the trailing axis (10+ GB at megasample
-    # budgets); recomputing each level's gathers in the backward scan
-    # keeps peak memory at one level's working set
-    _, per_level = jax.lax.scan(
-        jax.checkpoint(level_features),
-        None,
-        (level_scale, level_res, level_size, level_offset, level_hashed),
-    )  # (L, N, F)
-    out = jnp.moveaxis(per_level, 0, 1).reshape(n, meta.output_dim)
+    features = [None] * meta.n_levels
+    for level in packed_levels:
+        # checkpoint for the same reason as the scan body below: the
+        # gathered (N, 8, F) rows would otherwise be backward residuals
+        packed_fn = jax.checkpoint(
+            lambda t, xx, l=level: _packed_dense_level(t, xx, meta, l)
+        )
+        features[level] = packed_fn(table, x)
+
+    if scan_levels:
+        # checkpoint the level body: the scan would otherwise stack every
+        # level's corner gathers/weights as (L, N, 8[, F]) backward
+        # residuals, which the TPU pads 16x on the trailing axis (10+ GB
+        # at megasample budgets); recomputing each level's gathers in the
+        # backward scan keeps peak memory at one level's working set
+        _, per_level = jax.lax.scan(
+            jax.checkpoint(level_features),
+            None,
+            (level_scale, level_res, level_size, level_offset,
+             level_hashed),
+        )  # (L', N, F)
+        for i, level in enumerate(scan_levels):
+            features[level] = per_level[i]
+
+    out = jnp.concatenate(features, axis=-1)
     del num_corners
     return out.reshape(*batch_shape, meta.output_dim)
 
