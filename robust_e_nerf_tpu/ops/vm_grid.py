@@ -169,27 +169,74 @@ def _interp_1d_paired(pair_table, coord, resolution, n_comp):
     return pair[:, :n_comp] * (1.0 - w) + pair[:, n_comp:] * w
 
 
+# lines with at most this many rows interpolate via the soft-one-hot
+# matmul (MXU) instead of gather/scatter; REN_VM_LINE_MATMUL=0 disables
+# (A/B benchmarking escape hatch)
+import os as _os
+
+_LINE_MATMUL_MAX_ROWS = (
+    0 if _os.environ.get("REN_VM_LINE_MATMUL") == "0" else 1024
+)
+
+
+def _interp_1d_matmul(table, coord, resolution):
+    """Linear interpolation as a soft-one-hot matmul: W @ table, where
+    W (N, L) holds (1-w) at floor(p) and w at floor(p)+1.
+
+    Same lerp values and derivatives as `_interp_1d` (the one-hot entries
+    are exact), but the table gradient becomes the MXU matmul W^T @ g
+    instead of a scatter-add of N narrow rows — for line tables (<= 1024
+    rows) the matmul is ~5x cheaper than the scatter at megasample
+    budgets (scatters cost ~45-70 ns/row, docs/PERFORMANCE.md).  W is an
+    (N, L) f32 intermediate; callers checkpoint the encode so it is
+    rebuilt in the backward pass instead of living in HBM.
+    """
+    p = coord * (resolution - 1)
+    p0 = jnp.clip(jnp.floor(p), 0, resolution - 2)
+    w = (p - p0)[:, None]
+    i0 = p0.astype(jnp.int32)[:, None]
+    iota = jnp.arange(resolution, dtype=jnp.int32)[None, :]
+    weights = jnp.where(iota == i0, 1.0 - w, 0.0) + jnp.where(
+        iota == i0 + 1, w, 0.0
+    )
+    return jnp.dot(
+        weights, table, preferred_element_type=table.dtype
+    )
+
+
 def encode(params, x, meta: VMGridMeta):
     """Positions (..., 3) in [0,1]^3 -> (..., 3 * n_components) features.
 
-    Uses packed tables: 1 quad-packed plane gather + 1 paired line gather
-    per component triple = 6 gathered rows/sample (vs 18 unpacked); values
-    match the unpacked path up to fp reassociation (~1 ulp).
+    Uses packed tables: 1 quad-packed plane gather per component triple
+    (vs 18 unpacked rows/sample); lines interpolate on the MXU via the
+    soft-one-hot matmul when they fit (`_interp_1d_matmul`), falling back
+    to the paired gather otherwise.  Values match the unpacked path up to
+    fp reassociation (~1 ulp).
     """
     batch_shape = x.shape[:-1]
     x = x.reshape(-1, meta.num_dim)
     x = jnp.clip(x, 0.0, 1.0)
     n_comp = meta.n_components
+    line_matmul = meta.line_resolution <= _LINE_MATMUL_MAX_ROWS
     feats = []
     for k, ((a, b), c) in enumerate(_PROJECTIONS):
         plane_feat = _interp_2d_quad(
             _quad_rows(params["planes"][k], meta.resolution),
             x[:, a], x[:, b], meta.resolution, n_comp,
         )
-        line_feat = _interp_1d_paired(
-            _pair_rows(params["lines"][k]), x[:, c],
-            meta.line_resolution, n_comp,
-        )
+        if line_matmul:
+            # checkpointed so the (N, L) soft-one-hot never lands in HBM
+            # as a backward residual (2+ GB at megasample budgets)
+            line_feat = jax.checkpoint(
+                lambda t, cc: _interp_1d_matmul(
+                    t, cc, meta.line_resolution
+                )
+            )(params["lines"][k], x[:, c])
+        else:
+            line_feat = _interp_1d_paired(
+                _pair_rows(params["lines"][k]), x[:, c],
+                meta.line_resolution, n_comp,
+            )
         feats.append(plane_feat * line_feat)
     out = jnp.concatenate(feats, axis=-1)
     return out.reshape(*batch_shape, meta.output_dim)

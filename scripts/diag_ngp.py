@@ -34,11 +34,18 @@ def main():
 
     cfg = load_config(os.path.join(REPO, "configs", "train",
                                    "tpu-sphere.yaml"))
-    cfg["data"]["dataset_directory"] = os.path.join(REPO, "datasets",
-                                                    "sphere")
+    cfg["data"]["dataset_directory"] = os.path.join(
+        REPO, "datasets", os.environ.get("REN_DIAG_DATASET", "sphere")
+    )
     cfg["data"]["train_eff_ray_sample_batch_size"] = 1 << budget_log2
     cfg["data"]["train_ray_batch_capacity"] = 8192
-    cfg["model"]["nerf"]["arch"] = "ngp"
+    cfg["model"]["nerf"]["arch"] = os.environ.get("REN_DIAG_ARCH", "ngp")
+    if "REN_DIAG_WD" in os.environ:
+        cfg["loss"]["weight"]["nerf_mlp_weight_decay"] = float(
+            os.environ["REN_DIAG_WD"]
+        )
+    if "REN_DIAG_LR" in os.environ:
+        cfg["optimizer"]["lr"]["default"] = float(os.environ["REN_DIAG_LR"])
     cfg["trainer"]["logger"] = False
     cfg["trainer"]["checkpoint_callback"] = False
 

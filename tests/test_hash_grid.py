@@ -153,3 +153,53 @@ def test_encode_batched_matches_scan(rng):
     a = np.asarray(hash_grid.encode(table, x, meta))
     b = np.asarray(hash_grid.encode_batched(table, x, meta))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-8)
+
+
+def test_packed_dense_levels_bit_exact_with_per_corner(rng):
+    """The packed-footprint fast path must be BIT-exact with a per-corner
+    gather implementation on dense levels, including positions in the top
+    boundary half-cell (where the +1 corner's strided index runs past the
+    level, which the flat-shift slices reproduce by construction)."""
+    meta = hash_grid.build_meta(REFERENCE_CFG)
+    table = hash_grid.init_table(jax.random.PRNGKey(3), meta)
+
+    n = 512
+    x = jax.random.uniform(jax.random.PRNGKey(4), (n, 3))
+    # force some samples into every level's top boundary half-cell
+    x = x.at[:64].set(
+        1.0 - jax.random.uniform(jax.random.PRNGKey(5), (64, 3)) * 1e-3
+    )
+
+    got = hash_grid.encode(table, x, meta)
+
+    # per-corner oracle: one level at a time through the generic math
+    corners = np.stack(
+        np.meshgrid(*([np.arange(2)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3).astype(np.uint32)
+    want = []
+    for level in range(meta.n_levels):
+        scale = meta.base_resolution * meta.per_level_scale**level - 1.0
+        p = np.asarray(x, np.float32) * np.float32(scale) + 0.5
+        p0 = np.floor(p)
+        w = (p - p0).astype(np.float32)
+        p0 = np.clip(p0, 0.0, None).astype(np.uint32)
+        cc = p0[:, None, :] + corners[None]  # (N, 8, 3)
+        res = np.uint32(meta.resolutions[level])
+        if meta.hashed[level]:
+            idx = (cc[..., 0] * np.uint32(1)
+                   ^ cc[..., 1] * np.uint32(2654435761)
+                   ^ cc[..., 2] * np.uint32(805459861))
+            idx &= np.uint32(meta.sizes[level] - 1)
+        else:
+            idx = cc[..., 0] + cc[..., 1] * res + cc[..., 2] * res * res
+        rows = np.asarray(table)[
+            np.minimum(meta.offsets[level] + idx, meta.total_entries - 1)
+        ]  # (N, 8, F)
+        weights = np.prod(
+            corners[None].astype(np.float32) * w[:, None, :]
+            + (1.0 - corners[None]) * (1.0 - w[:, None, :]),
+            axis=-1, dtype=np.float32,
+        )
+        want.append(np.einsum("nc,ncf->nf", weights, rows))
+    want = np.concatenate(want, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)

@@ -165,3 +165,26 @@ def test_quad_packed_plane_matches_direct(rng):
         meta.resolution, meta.n_components,
     ))
     np.testing.assert_allclose(quad, direct, rtol=1e-5, atol=1e-7)
+
+
+def test_line_matmul_matches_gather_lerp():
+    """The soft-one-hot matmul line interpolation must reproduce the
+    gather-based lerp exactly (fwd + coord jvp; table grad to fp sum
+    order)."""
+    import jax
+
+    table = jax.random.normal(jax.random.PRNGKey(0), (512, 16))
+    coord = jax.random.uniform(jax.random.PRNGKey(1), (4096,))
+    a = vm_grid._interp_1d(table, coord, 512)
+    b = vm_grid._interp_1d_matmul(table, coord, 512)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ga = jax.grad(lambda t: vm_grid._interp_1d(t, coord, 512).sum())(table)
+    gb = jax.grad(
+        lambda t: vm_grid._interp_1d_matmul(t, coord, 512).sum()
+    )(table)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=5e-6)
+    ja = jax.jvp(lambda c: vm_grid._interp_1d(table, c, 512), (coord,),
+                 (jnp.ones_like(coord),))[1]
+    jb = jax.jvp(lambda c: vm_grid._interp_1d_matmul(table, c, 512),
+                 (coord,), (jnp.ones_like(coord),))[1]
+    np.testing.assert_allclose(np.asarray(ja), np.asarray(jb), atol=5e-6)
