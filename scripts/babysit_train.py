@@ -59,7 +59,10 @@ def main():
         with open(run_cfg, "w") as f:
             yaml.safe_dump(cfg, f)
 
-        out_log = os.path.join("/tmp", "babysit_train.log")
+        # per-run log: the stall watchdog monitors this file's growth, so
+        # concurrent babysitters must not share it
+        run_tag = base_cfg["logger"]["name"].replace("/", "_")
+        out_log = os.path.join("/tmp", f"babysit_{run_tag}.log")
         with open(out_log, "a") as logf:
             proc = subprocess.Popen(
                 [sys.executable, os.path.join(REPO, "scripts", "run.py"),
