@@ -28,6 +28,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data import pipeline as pipeline_mod
@@ -382,6 +383,18 @@ class Trainer:
                         host_aux["mean_ray_occ_rate"])
         self.log_scalar("train/mean_valid_rate",
                         host_aux["mean_valid_rate"])
+        # occupancy-grid health (beyond the reference's scalar set): the
+        # NGP fog-densification failure mode announces itself as a rising
+        # occs mean together with a falling samples/ray (docs/ROADMAP.md
+        # round-2 findings) — cheap to log, invaluable to catch early
+        occ = jax.device_get({
+            "frac": jnp.mean(
+                self.occ_state["binary"].astype(jnp.float32)
+            ),
+            "mean": jnp.mean(self.occ_state["occs"]),
+        })
+        self.log_scalar("train/occ_grid_occupied_frac", occ["frac"])
+        self.log_scalar("train/occ_grid_mean", occ["mean"])
 
     # ------------------------------------------------------------------
     # evaluation (robust_e_nerf.py:519-780)
