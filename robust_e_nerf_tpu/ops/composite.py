@@ -53,14 +53,26 @@ def composite(
     visible = valid & (trans > early_stop_eps) & (alpha > 0.0)
     weights = jnp.where(visible, alpha * trans, 0.0)
 
-    colors = jnp.zeros((num_rays, radiance.shape[-1]), radiance.dtype)
-    colors = colors.at[buf["ray_idx"]].add(weights[:, None] * radiance)
-    opacities = jnp.zeros((num_rays,), weights.dtype).at[
-        buf["ray_idx"]
-    ].add(weights)
-    depths = jnp.zeros((num_rays,), weights.dtype).at[buf["ray_idx"]].add(
-        weights * buf["t_mid"]
+    # ONE K-row scatter-add for all three accumulations: scatters are
+    # priced per row regardless of width (docs/PERFORMANCE.md), and the
+    # three accumulators share their ray indices, so packing
+    # [w * radiance | w | w * t_mid] into a (K, C + 2) payload cuts the
+    # compositor's scatter rows 3x per render
+    n_chan = radiance.shape[-1]
+    payload = jnp.concatenate(
+        [
+            weights[:, None] * radiance,
+            weights[:, None],
+            (weights * buf["t_mid"])[:, None],
+        ],
+        axis=-1,
     )
+    acc = jnp.zeros((num_rays, n_chan + 2), payload.dtype).at[
+        buf["ray_idx"]
+    ].add(payload)
+    colors = acc[:, :n_chan]
+    opacities = acc[:, n_chan]
+    depths = acc[:, n_chan + 1]
 
     if render_bkgd is not None:
         colors = colors + render_bkgd * (1.0 - opacities[:, None])
