@@ -39,7 +39,8 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
     Mirrors render_pixels (robust_e_nerf.py:849-885) + bayering (:887-890)
     + the log (:394, :432-433).  Times are two-float (hi, lo) pairs (see
     data/pipeline.py).  Returns
-    (log_intensity (B,), opacity (B,), n_visible (), is_valid (B,)).
+    (log_intensity (B,), opacity (B,), n_visible (), is_valid (B,),
+    sigma_reg ()).
     """
     position, rotation = traj_mod.interpolate_pose(
         buffers["trajectory"], ts_hi, ts_lo
@@ -50,7 +51,8 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
     # the live rays are a prefix of the batch (valid = arange < count), so
     # their count selects the march bucket (ops/ray_march.py)
     n_valid = jnp.sum(ray_valid, dtype=jnp.int32)
-    radiance, opacity, _depth, n_visible, _total = nerf_mod.render_rays(
+    (radiance, opacity, _depth, n_visible, _total,
+     sigma_reg) = nerf_mod.render_rays(
         params["nerf"], occ_binary, buffers["aabb"], origins, directions,
         ray_valid, spec.nerf, march_spec, key=key, n_valid=n_valid,
     )
@@ -66,7 +68,7 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
         is_valid = opacity > 0
     else:
         is_valid = jnp.ones_like(opacity, dtype=bool)
-    return log_intensity, opacity, n_visible, is_valid
+    return log_intensity, opacity, n_visible, is_valid, sigma_reg
 
 
 def _psum(x, axis_name):
@@ -105,8 +107,10 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
 
     aux = {}
     renders = []  # (n_visible, opacity, is_valid) triples for diagnostics
+    sigma_regs = []  # (mean Cauchy sparsity, sample count) per render
     use_diff = loss_spec.weight_diff > 0
     use_grad = loss_spec.weight_grad > 0
+    use_sparsity = loss_spec.weight_density_sparsity > 0
 
     # supervision timestamps (robust_e_nerf.py:322-358), as offsets from the
     # (tau-delayed) event start; algebraically identical to the reference's
@@ -146,7 +150,7 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
 
         # d(logI)/dt via the lo word: t = hi + lo, so a unit tangent on lo
         # is a unit tangent on t
-        (logI_g, opacity_g, nvis_g, valid_g), tangents = jax.jvp(
+        (logI_g, opacity_g, nvis_g, valid_g, sreg_g), tangents = jax.jvp(
             logI_at, (grad_lo,), (jnp.ones_like(grad_lo),)
         )
         dlogI_dt = tangents[0]
@@ -155,14 +159,15 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
             loss_spec, dlogI_dt, target_grad, valid_g & valid, axis_name
         )
         renders.append((nvis_g, opacity_g, valid_g))
+        sigma_regs.append((sreg_g, nvis_g))
 
     if use_diff:
-        logI_s, opacity_s, nvis_s, valid_s = render_log_intensity(
+        logI_s, opacity_s, nvis_s, valid_s, sreg_s = render_log_intensity(
             params, buffers, occ_binary, spec, batch["position"],
             channel_idx, start_hi, diff_start_lo, valid, keys[1],
             spec.nerf.march_train,
         )
-        logI_e, opacity_e, nvis_e, valid_e = render_log_intensity(
+        logI_e, opacity_e, nvis_e, valid_e, sreg_e = render_log_intensity(
             params, buffers, occ_binary, spec, batch["position"],
             channel_idx, start_hi, diff_end_lo, valid, keys[2],
             spec.nerf.march_train,
@@ -175,6 +180,8 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
         )
         renders.append((nvis_s, opacity_s, valid_s))
         renders.append((nvis_e, opacity_e, valid_e))
+        sigma_regs.append((sreg_s, nvis_s))
+        sigma_regs.append((sreg_e, nvis_e))
 
     # parameter-normalized loss terms (robust_e_nerf.py:467-486)
     _, _, mean_ct = event_model.contrast_thresholds(
@@ -193,6 +200,16 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
         normalized = value * loss_mod.param_weight_value(pw[name], mean_ct)
         aux[f"loss/{name}"] = normalized
         total = total + weight[name] * normalized
+
+    if use_sparsity:
+        # opt-in extension (LossSpec.weight_density_sparsity docstring):
+        # mean Cauchy density sparsity over the marched samples of every
+        # render this step
+        reg = sum(s for s, _ in sigma_regs) / len(sigma_regs)
+        if axis_name is not None:
+            reg = jax.lax.pmean(reg, axis_name)
+        aux["loss/density_sparsity"] = reg
+        total = total + loss_spec.weight_density_sparsity * reg
 
     # diagnostics (robust_e_nerf.py:500-515); n_visible counts are per-chip
     # -> psum for the global mean samples per ray
@@ -476,7 +493,8 @@ def make_eval_chunk_fn(spec: ModelSpec, mesh=None):
         origins, directions = nerf_mod.pixel_params_to_ray(
             intrinsics_inv, pixel_pos, pos, rot
         )
-        radiance, opacity, _depth, _nvis, total = nerf_mod.render_rays(
+        (radiance, opacity, _depth, _nvis, total,
+         _sreg) = nerf_mod.render_rays(
             params["nerf"], occ_binary, buffers["aabb"], origins,
             directions, chunk_valid, spec.nerf, spec.nerf.march_eval,
             key=None,

@@ -35,6 +35,15 @@ class LossSpec:
     error_fn_diff: str
     param_weight_grad: Optional[str]
     param_weight_diff: Optional[str]
+    # OPT-IN framework extension beyond the reference (default 0 = exact
+    # reference loss): Cauchy density-sparsity regularization
+    # lambda * mean(log(1 + 2 sigma^2)) over marched samples.  The standard
+    # empty-space stabilizer (TensoRF eq. 12 / SNeRG); its gradient
+    # 4 sigma / (1 + 2 sigma^2) peaks at fog-level densities (~0.7) and
+    # fades at legitimate surface densities (100+), which breaks the NGP
+    # fog-densification race documented in docs/ROADMAP.md without
+    # measurably penalizing the converged surface.
+    weight_density_sparsity: float = 0.0
 
     def __post_init__(self):
         assert self.weight_grad >= 0 and self.weight_diff >= 0
@@ -43,6 +52,7 @@ class LossSpec:
         assert self.error_fn_diff in transforms.ERROR_FNS
         assert self.param_weight_grad in PARAM_WEIGHT_CHOICES
         assert self.param_weight_diff in PARAM_WEIGHT_CHOICES
+        assert self.weight_density_sparsity >= 0
 
 
 def build_loss_spec(loss_config) -> LossSpec:
@@ -53,6 +63,9 @@ def build_loss_spec(loss_config) -> LossSpec:
         error_fn_diff=loss_config["error_fn"]["log_intensity_diff"],
         param_weight_grad=loss_config["param_weight"]["log_intensity_grad"],
         param_weight_diff=loss_config["param_weight"]["log_intensity_diff"],
+        weight_density_sparsity=float(
+            loss_config["weight"].get("density_sparsity") or 0.0
+        ),
     )
 
 

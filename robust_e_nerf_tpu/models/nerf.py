@@ -181,9 +181,12 @@ def render_rays(
     """Occupancy-accelerated volume rendering of a batch of rays.
 
     Returns (radiance (B, C), opacity (B,), depth (B,), n_visible (),
-    total_marched ()).  `depth` is the expected termination distance along
-    the ray normalized by opacity (models/nerf.py:267-285); the caller
-    converts it to z-depth via the principal-axis cosine.
+    total_marched (), sigma_reg ()).  `depth` is the expected termination
+    distance along the ray normalized by opacity (models/nerf.py:267-285);
+    the caller converts it to z-depth via the principal-axis cosine.
+    `sigma_reg` is the mean Cauchy sparsity log(1 + 2 sigma^2) over the
+    valid marched samples (zero-cost unless the optional density-sparsity
+    loss term consumes it, loss_metric/loss.py).
     """
     num_rays = origins.shape[0]
     buf = ray_march.march_and_compact(
@@ -211,7 +214,12 @@ def render_rays(
         alpha_thre=spec.alpha_thre,
     )
     depth = depth / (opacity + spec.opacity_eps)
-    return colors, opacity, depth, n_visible, buf["total"]
+    sigma_flat = sigma.reshape(-1)
+    valid_f = buf["valid"].astype(sigma_flat.dtype)
+    sigma_reg = jnp.sum(
+        valid_f * jnp.log1p(2.0 * sigma_flat * sigma_flat)
+    ) / jnp.maximum(jnp.sum(valid_f), 1.0)
+    return colors, opacity, depth, n_visible, buf["total"], sigma_reg
 
 
 def ray_distance_to_z_depth(depth, ray_direction, t_wc_orientation):

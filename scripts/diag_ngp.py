@@ -38,7 +38,9 @@ def main():
         REPO, "datasets", os.environ.get("REN_DIAG_DATASET", "sphere")
     )
     cfg["data"]["train_eff_ray_sample_batch_size"] = 1 << budget_log2
-    cfg["data"]["train_ray_batch_capacity"] = 8192
+    cfg["data"]["train_ray_batch_capacity"] = int(
+        os.environ.get("REN_DIAG_CAP", 8192)
+    )
     cfg["model"]["nerf"]["arch"] = os.environ.get("REN_DIAG_ARCH", "ngp")
     if "REN_DIAG_WD" in os.environ:
         cfg["loss"]["weight"]["nerf_mlp_weight_decay"] = float(
@@ -46,6 +48,10 @@ def main():
         )
     if "REN_DIAG_LR" in os.environ:
         cfg["optimizer"]["lr"]["default"] = float(os.environ["REN_DIAG_LR"])
+    if "REN_DIAG_SREG" in os.environ:
+        cfg["loss"]["weight"]["density_sparsity"] = float(
+            os.environ["REN_DIAG_SREG"]
+        )
     cfg["trainer"]["logger"] = False
     cfg["trainer"]["checkpoint_callback"] = False
 

@@ -294,3 +294,60 @@ def test_bucketed_march_matches_full(rng):
             np.asarray(full["ray_first"])[counts > 0],
             np.asarray(bucketed["ray_first"])[counts > 0],
         )
+
+
+def test_render_rays_sigma_reg_is_mean_cauchy():
+    """render_rays' sigma_reg output = mean log(1 + 2 sigma^2) over the
+    valid marched samples (the opt-in density-sparsity term's statistic,
+    loss_metric/loss.py LossSpec.weight_density_sparsity)."""
+    from robust_e_nerf_tpu.models import fields, nerf as nerf_mod
+
+    occ_spec = make_occ_spec()
+    field_spec = fields.build_field_spec("mlp", {
+        "net_depth": 1, "net_width": 8, "skip_layer": 4,
+        "net_depth_condition": 1, "net_width_condition": 8,
+        "hidden_activation": "softplus",
+        "density_activation": "shifted_trunc_exp",
+        "radiance_activation": "softplus",
+        "pos_encoder_max_deg": 2, "view_encoder_max_deg": 1,
+        "weight_norm": False,
+    }, "aabb", 1, 3)
+    march_spec = ray_march.MarchSpec(
+        contraction_type=contraction.AABB, render_step_size=0.05,
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=128, capacity=512,
+    )
+    spec = nerf_mod.NerfSpec(
+        field=field_spec, occ=occ_spec, march_train=march_spec,
+        march_eval=march_spec, render_step_size=0.05, near_plane=None,
+        far_plane=None, cone_angle=0.0, early_stop_eps=1e-4,
+        alpha_thre=0.0, test_chunk_size=512, render_bkgd=None,
+        radiance_dim=1,
+    )
+    params = {"radiance_field": fields.init_field(
+        jax.random.PRNGKey(0), field_spec
+    )}
+    aabb = jnp.asarray([-1, -1, -1, 1, 1, 1], jnp.float32)
+    origins = jnp.asarray([[-2.0, 0.0, 0.0], [0.0, -2.0, 0.0]],
+                          jnp.float32)
+    directions = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                             jnp.float32)
+    occ = jnp.ones(occ_spec.num_cells, bool)
+    valid = jnp.asarray([True, True])
+    *_, sigma_reg = nerf_mod.render_rays(
+        params, occ, aabb, origins, directions, valid, spec, march_spec,
+    )
+    # oracle: recompute from the marched buffer + field densities
+    buf = ray_march.march_and_compact(
+        origins, directions, valid, occ, aabb, occ_spec, march_spec,
+    )
+    positions, _dirs = ray_march.sample_positions(buf, origins, directions)
+    sigma = fields.field_query_density(
+        params["radiance_field"], positions, aabb, field_spec
+    ).reshape(-1)
+    m = np.asarray(buf["valid"], dtype=np.float64)
+    want = float(
+        (m * np.log1p(2.0 * np.asarray(sigma, np.float64) ** 2)).sum()
+        / max(m.sum(), 1.0)
+    )
+    np.testing.assert_allclose(float(sigma_reg), want, rtol=1e-5)
