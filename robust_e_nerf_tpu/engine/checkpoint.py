@@ -23,6 +23,10 @@ MODEL_COMPONENTS = ("contrast_threshold", "refractory_period", "nerf")
 
 def save_checkpoint(path, params, opt_state, occ_state, step, batch_size,
                     hparams=None):
+    """`opt_state=None` writes a weights-only checkpoint (the
+    `checkpoint.save_weights_only` config key, run.py:67 /
+    configs/train/synthetic.yaml:139): model parameters and occupancy
+    buffers, but no optimizer state."""
     flat = {}
     for prefix, tree in (
         ("params", params),
@@ -30,9 +34,11 @@ def save_checkpoint(path, params, opt_state, occ_state, step, batch_size,
     ):
         for key, value in pytree.tree_to_flat_dict(tree).items():
             flat[f"{prefix}/{key}"] = value
-    # optimizer state contains ints/None-like leaves too; store what's array
-    for key, value in pytree.tree_to_flat_dict(opt_state).items():
-        flat[f"opt/{key}"] = value
+    if opt_state is not None:
+        # optimizer state contains ints/None-like leaves too; store what's
+        # array
+        for key, value in pytree.tree_to_flat_dict(opt_state).items():
+            flat[f"opt/{key}"] = value
     flat["step"] = np.int64(step)
     flat["batch_size"] = np.int64(batch_size)
     meta = {"hparams": hparams or {}}

@@ -39,8 +39,12 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
     Mirrors render_pixels (robust_e_nerf.py:849-885) + bayering (:887-890)
     + the log (:394, :432-433).  Times are two-float (hi, lo) pairs (see
     data/pipeline.py).  Returns
-    (log_intensity (B,), opacity (B,), n_visible (), is_valid (B,),
-    sigma_reg ()).
+    (log_intensity (B,), opacity (B,), n_visible (), total_marched (),
+    is_valid (B,), sigma_reg ()).  `total_marched` counts the samples the
+    marcher produced BEFORE capacity clipping — when it exceeds the
+    per-chip sample-buffer capacity, tail rays marched fewer samples than
+    the reference would render (external/utils.py:106-129 renders every
+    marched sample), and the caller should surface that.
     """
     position, rotation = traj_mod.interpolate_pose(
         buffers["trajectory"], ts_hi, ts_lo
@@ -51,7 +55,7 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
     # the live rays are a prefix of the batch (valid = arange < count), so
     # their count selects the march bucket (ops/ray_march.py)
     n_valid = jnp.sum(ray_valid, dtype=jnp.int32)
-    (radiance, opacity, _depth, n_visible, _total,
+    (radiance, opacity, _depth, n_visible, total_marched,
      sigma_reg) = nerf_mod.render_rays(
         params["nerf"], occ_binary, buffers["aabb"], origins, directions,
         ray_valid, spec.nerf, march_spec, key=key, n_valid=n_valid,
@@ -68,7 +72,8 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
         is_valid = opacity > 0
     else:
         is_valid = jnp.ones_like(opacity, dtype=bool)
-    return log_intensity, opacity, n_visible, is_valid, sigma_reg
+    return (log_intensity, opacity, n_visible, total_marched, is_valid,
+            sigma_reg)
 
 
 def _psum(x, axis_name):
@@ -78,9 +83,10 @@ def _psum(x, axis_name):
 
 
 def train_loss_fn(params, buffers, occ_binary, batch, key,
-                  spec: ModelSpec, axis_name=None):
+                  spec: ModelSpec, axis_name=None, step=None):
     """The full training loss (robust_e_nerf.py:301-486), per chip with
-    global (psum) reductions.  Returns (weighted total loss, aux dict)."""
+    global (psum) reductions.  Returns (weighted total loss, aux dict).
+    `step` (device scalar) drives the optional density-sparsity schedule."""
     loss_spec = spec.loss
     valid = batch["valid"]
     n_valid = jnp.maximum(
@@ -107,10 +113,15 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
 
     aux = {}
     renders = []  # (n_visible, opacity, is_valid) triples for diagnostics
-    sigma_regs = []  # (mean Cauchy sparsity, sample count) per render
+    totals = []  # pre-clip marched-sample counts per render (per chip)
+    sigma_regs = []  # mean Cauchy density sparsity per render
     use_diff = loss_spec.weight_diff > 0
     use_grad = loss_spec.weight_grad > 0
     use_sparsity = loss_spec.weight_density_sparsity > 0
+    assert not use_sparsity or use_diff or use_grad, (
+        "density_sparsity regularizes the samples marched by the grad/diff"
+        " renders; enable at least one of them"
+    )
 
     # supervision timestamps (robust_e_nerf.py:322-358), as offsets from the
     # (tau-delayed) event start; algebraically identical to the reference's
@@ -150,7 +161,9 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
 
         # d(logI)/dt via the lo word: t = hi + lo, so a unit tangent on lo
         # is a unit tangent on t
-        (logI_g, opacity_g, nvis_g, valid_g, sreg_g), tangents = jax.jvp(
+        (
+            (logI_g, opacity_g, nvis_g, total_g, valid_g, sreg_g), tangents
+        ) = jax.jvp(
             logI_at, (grad_lo,), (jnp.ones_like(grad_lo),)
         )
         dlogI_dt = tangents[0]
@@ -159,15 +172,18 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
             loss_spec, dlogI_dt, target_grad, valid_g & valid, axis_name
         )
         renders.append((nvis_g, opacity_g, valid_g))
-        sigma_regs.append((sreg_g, nvis_g))
+        totals.append(total_g)
+        sigma_regs.append(sreg_g)
 
     if use_diff:
-        logI_s, opacity_s, nvis_s, valid_s, sreg_s = render_log_intensity(
+        (logI_s, opacity_s, nvis_s, total_s, valid_s,
+         sreg_s) = render_log_intensity(
             params, buffers, occ_binary, spec, batch["position"],
             channel_idx, start_hi, diff_start_lo, valid, keys[1],
             spec.nerf.march_train,
         )
-        logI_e, opacity_e, nvis_e, valid_e, sreg_e = render_log_intensity(
+        (logI_e, opacity_e, nvis_e, total_e, valid_e,
+         sreg_e) = render_log_intensity(
             params, buffers, occ_binary, spec, batch["position"],
             channel_idx, start_hi, diff_end_lo, valid, keys[2],
             spec.nerf.march_train,
@@ -180,8 +196,8 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
         )
         renders.append((nvis_s, opacity_s, valid_s))
         renders.append((nvis_e, opacity_e, valid_e))
-        sigma_regs.append((sreg_s, nvis_s))
-        sigma_regs.append((sreg_e, nvis_e))
+        totals.extend((total_s, total_e))
+        sigma_regs.extend((sreg_s, sreg_e))
 
     # parameter-normalized loss terms (robust_e_nerf.py:467-486)
     _, _, mean_ct = event_model.contrast_thresholds(
@@ -204,12 +220,21 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
     if use_sparsity:
         # opt-in extension (LossSpec.weight_density_sparsity docstring):
         # mean Cauchy density sparsity over the marched samples of every
-        # render this step
-        reg = sum(s for s, _ in sigma_regs) / len(sigma_regs)
+        # render this step, with an optional decay/occupancy-gate schedule
+        # (loss_metric/loss.py:density_sparsity_weight)
+        reg = sum(sigma_regs) / len(sigma_regs)
         if axis_name is not None:
             reg = jax.lax.pmean(reg, axis_name)
+        lam = loss_mod.density_sparsity_weight(
+            loss_spec,
+            jnp.int32(0) if step is None else step,
+            jnp.mean(occ_binary.astype(jnp.float32)),
+        )
         aux["loss/density_sparsity"] = reg
-        total = total + loss_spec.weight_density_sparsity * reg
+        aux["density_sparsity_weight"] = (
+            lam if isinstance(lam, jnp.ndarray) else jnp.float32(lam)
+        )
+        total = total + lam * reg
 
     # diagnostics (robust_e_nerf.py:500-515); n_visible counts are per-chip
     # -> psum for the global mean samples per ray
@@ -225,6 +250,15 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
         loss_mod.masked_mean(v.astype(jnp.float32), valid, axis_name)
         for _, _, v in renders
     ) / len(renders)
+    # training-path sample-buffer overflow (the eval path already warns,
+    # trainer.py): whenever a render marched more samples than the per-chip
+    # buffer capacity, tail rays silently marched zero samples — the
+    # reference renders every marched sample (external/utils.py:106-129),
+    # so a persistent overflow is a fidelity gap the user must see
+    capacity = spec.nerf.march_train.capacity
+    aux["sample_overflow"] = _psum(
+        sum(jnp.maximum(t - capacity, 0) for t in totals), axis_name
+    )
     aux["loss/total"] = total
     aux["mean_num_samples_per_ray"] = mean_samples
     aux["mean_ray_occ_rate"] = occ_rate
@@ -324,9 +358,9 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
     assert accum_steps >= 1
 
     def global_loss(params, buffers, event_table, occ_binary, batch_size,
-                    key):
+                    step, key):
         def per_chip(params, buffers, event_table, occ_binary, batch_size,
-                     key):
+                     step, key):
             chip = jax.lax.axis_index(DATA_AXIS)
             key = jax.random.fold_in(key, chip)
             k_batch, k_loss = jax.random.split(key)
@@ -342,32 +376,33 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
             )
             return train_loss_fn(
                 params, buffers, occ_binary, batch, k_loss, spec,
-                axis_name=DATA_AXIS,
+                axis_name=DATA_AXIS, step=step,
             )
 
         return shard_map(
             per_chip,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             # Pallas calls inside shard_map cannot express their output
             # vma yet; replication of the outputs is guaranteed by the
             # psum reductions in train_loss_fn
             check_vma=False,
-        )(params, buffers, event_table, occ_binary, batch_size, key)
+        )(params, buffers, event_table, occ_binary, batch_size, step, key)
 
     def loss_and_grads(params, buffers, event_table, occ_binary,
-                       batch_size, key):
+                       batch_size, step, key):
         if accum_steps == 1:
             return jax.value_and_grad(global_loss, has_aux=True)(
-                params, buffers, event_table, occ_binary, batch_size, key
+                params, buffers, event_table, occ_binary, batch_size,
+                step, key,
             )
 
         def micro_step(carry, micro_key):
             grads_acc, loss_acc, aux_acc = carry
             (loss, aux), grads = jax.value_and_grad(
                 global_loss, has_aux=True
-            )(params, buffers, event_table, occ_binary, batch_size,
+            )(params, buffers, event_table, occ_binary, batch_size, step,
               micro_key)
             grads_acc = jax.tree_util.tree_map(
                 lambda a, g: a + g, grads_acc, grads
@@ -382,7 +417,8 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
         # shape/dtype templates from an abstract eval (no compute)
         (loss_shape, aux_shape), grads_shape = jax.eval_shape(
             lambda *a: jax.value_and_grad(global_loss, has_aux=True)(*a),
-            params, buffers, event_table, occ_binary, batch_size, key,
+            params, buffers, event_table, occ_binary, batch_size, step,
+            key,
         )
         init = (
             zeros_like_tree(grads_shape),
@@ -402,7 +438,7 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
         key = jax.random.fold_in(base_key, ctrl["step"])
         (loss, aux), grads = loss_and_grads(
             params, buffers, event_table, occ_binary, ctrl["batch_size"],
-            key,
+            ctrl["step"], key,
         )
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = jax.tree_util.tree_map(
@@ -487,11 +523,12 @@ def make_eval_chunk_fn(spec: ModelSpec, mesh=None):
 
     def eval_chunk(params, buffers, occ_binary, intrinsics_inv, pixel_pos,
                    position, rotation, chunk_valid):
-        num = pixel_pos.shape[0]
-        pos = jnp.broadcast_to(position, (num, 3))
-        rot = jnp.broadcast_to(rotation, (num, 3, 3))
+        # position/rotation are PER-RAY ((B, 3) / (B, 3, 3)) so one chunk
+        # can mix rays from several eval poses (the pose-batched eval
+        # pipeline, VERDICT round-2 weak #6); single-pose callers
+        # broadcast before dispatch
         origins, directions = nerf_mod.pixel_params_to_ray(
-            intrinsics_inv, pixel_pos, pos, rot
+            intrinsics_inv, pixel_pos, position, rotation
         )
         (radiance, opacity, _depth, _nvis, total,
          _sreg) = nerf_mod.render_rays(
@@ -518,8 +555,8 @@ def make_eval_chunk_fn(spec: ModelSpec, mesh=None):
         return shard_map(
             per_chip,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(DATA_AXIS), P(), P(),
-                      P(DATA_AXIS)),
+            in_specs=(P(), P(), P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS)),
             out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
             check_vma=False,
         )(params, buffers, occ_binary, intrinsics_inv, pixel_pos,
@@ -528,37 +565,57 @@ def make_eval_chunk_fn(spec: ModelSpec, mesh=None):
     return jax.jit(sharded)
 
 
-def render_image_dispatch(params, buffers, occ_binary, spec: ModelSpec,
-                          eval_chunk_fn, intrinsics_inv, img_pixel_pos,
-                          position, rotation, num_chips=1):
-    """Dispatch all of one image's eval chunks WITHOUT any host sync.
+def render_images_dispatch(params, buffers, occ_binary, spec: ModelSpec,
+                           eval_chunk_fn, intrinsics_inv, img_pixel_pos,
+                           positions, rotations, num_chips=1):
+    """Dispatch ALL eval images' chunks as one pipelined train, without
+    any host sync.
 
-    Returns (chunk_outputs [device arrays], totals [device scalars]); the
-    caller assembles with `assemble_image` after dispatching everything —
-    over a high-latency device link the pipelining matters more than the
-    per-chunk compute (ROADMAP round-1 #3).
+    Every image's rays are concatenated into a single global ray list with
+    per-ray poses, then cut into mesh-divisible chunks — so chunks span
+    pose boundaries and small images no longer waste a mostly-empty chunk
+    each (the reference's per-image eval loop, robust_e_nerf.py:533-571 /
+    external/utils.py:99-105, serialized poses on the host).  Returns
+    (chunk_outputs [device arrays], totals [device scalars]); assemble
+    with `assemble_images` after dispatching — over a high-latency device
+    link the pipelining matters more than the per-chunk compute.
     """
     import numpy as np
 
-    flat_pix = img_pixel_pos.reshape(-1, 2)
-    num_rays = flat_pix.shape[0]
+    num_images = len(positions)
+    flat_pix = np.asarray(img_pixel_pos).reshape(-1, 2)
+    rays_per_img = flat_pix.shape[0]
+    pix_all = np.tile(flat_pix, (num_images, 1))
+    pos_host = np.asarray(jax.device_get(positions), np.float32)
+    rot_host = np.asarray(jax.device_get(rotations), np.float32)
+    pos_all = np.repeat(pos_host, rays_per_img, axis=0)
+    rot_all = np.repeat(rot_host, rays_per_img, axis=0)
+    num_rays = num_images * rays_per_img
+
     chunk = spec.nerf.test_chunk_size
     chunk = -(-chunk // num_chips) * num_chips  # divisible by the mesh
     pad = (-num_rays) % chunk
     if pad:
-        flat_pix = np.concatenate(
-            [flat_pix, np.zeros((pad, 2), flat_pix.dtype)], axis=0
+        pix_all = np.concatenate(
+            [pix_all, np.zeros((pad, 2), pix_all.dtype)], axis=0
+        )
+        pos_all = np.concatenate(
+            [pos_all, np.zeros((pad, 3), np.float32)], axis=0
+        )
+        rot_all = np.concatenate(
+            [rot_all, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))],
+            axis=0,
         )
     valid_all = np.arange(num_rays + pad) < num_rays
 
     intrinsics_inv = jnp.asarray(intrinsics_inv)
-    position = jnp.asarray(position)
-    rotation = jnp.asarray(rotation)
     outs, totals = [], []
     for i in range(0, num_rays + pad, chunk):
         intensity, _opacity, total = eval_chunk_fn(
             params, buffers, occ_binary, intrinsics_inv,
-            jnp.asarray(flat_pix[i:i + chunk]), position, rotation,
+            jnp.asarray(pix_all[i:i + chunk]),
+            jnp.asarray(pos_all[i:i + chunk]),
+            jnp.asarray(rot_all[i:i + chunk]),
             jnp.asarray(valid_all[i:i + chunk]),
         )
         outs.append(intensity)
@@ -566,15 +623,16 @@ def render_image_dispatch(params, buffers, occ_binary, spec: ModelSpec,
     return outs, totals
 
 
-def assemble_image(chunk_outputs, totals, img_pixel_pos, spec: ModelSpec):
-    """Fetch dispatched chunks -> ((H, W, C) image, overflow sample count).
+def assemble_images(chunk_outputs, totals, img_pixel_pos, num_images,
+                    spec: ModelSpec):
+    """Fetch dispatched chunks -> ((N, H, W, C) images, overflow count).
 
     This is the only host sync of the eval render path.
     """
     import numpy as np
 
     height, width = img_pixel_pos.shape[:2]
-    num_rays = height * width
+    num_rays = num_images * height * width
     img = np.concatenate(
         [np.asarray(o) for o in chunk_outputs], axis=0
     )[:num_rays]
@@ -583,15 +641,17 @@ def assemble_image(chunk_outputs, totals, img_pixel_pos, spec: ModelSpec):
         max(0, int(t) - capacity)
         for total in totals for t in np.atleast_1d(np.asarray(total))
     )
-    return img.reshape(height, width, -1), overflow
+    return img.reshape(num_images, height, width, -1), overflow
 
 
 def render_image(params, buffers, occ_binary, spec: ModelSpec,
                  eval_chunk_fn, intrinsics_inv, img_pixel_pos, position,
                  rotation, num_chips=1):
-    """Full-image render (dispatch + assemble in one call)."""
-    outs, totals = render_image_dispatch(
+    """Single-image render (dispatch + assemble in one call)."""
+    outs, totals = render_images_dispatch(
         params, buffers, occ_binary, spec, eval_chunk_fn, intrinsics_inv,
-        img_pixel_pos, position, rotation, num_chips=num_chips,
+        img_pixel_pos, jnp.asarray(position)[None],
+        jnp.asarray(rotation)[None], num_chips=num_chips,
     )
-    return assemble_image(outs, totals, img_pixel_pos, spec)
+    imgs, overflow = assemble_images(outs, totals, img_pixel_pos, 1, spec)
+    return imgs[0], overflow

@@ -183,7 +183,30 @@ class Trainer:
         )
         self.log_dir = resolve_log_dir(config["logger"])
         self._writer = None
-        self._last_ckpt_path = None
+
+        # ModelCheckpoint semantics (run.py:66-70 constructs
+        # `pl.callbacks.ModelCheckpoint(**config.checkpoint)`, keys at
+        # configs/train/synthetic.yaml:135-141): monitor/mode select which
+        # metric ranks checkpoints, save_top_k bounds how many are kept
+        # (best-k with a monitor, latest-k without), every_n_epochs sets the
+        # cadence, save_weights_only drops the optimizer state, dirpath
+        # overrides <log_dir>/checkpoints
+        ckpt_cfg = dict(config.get("checkpoint") or {})
+        self.ckpt_dirpath = ckpt_cfg.get("dirpath") or None
+        self.ckpt_monitor = ckpt_cfg.get("monitor") or None
+        self.ckpt_mode = str(ckpt_cfg.get("mode") or "min")
+        assert self.ckpt_mode in ("min", "max")
+        save_top_k = ckpt_cfg.get("save_top_k")
+        self.ckpt_save_top_k = 1 if save_top_k is None else int(save_top_k)
+        self.ckpt_save_weights_only = bool(
+            ckpt_cfg.get("save_weights_only") or False
+        )
+        every_n = ckpt_cfg.get("every_n_epochs")
+        self.ckpt_every_n_epochs = 1 if every_n is None else int(every_n)
+        # (score-or-None, path) per kept checkpoint, in save order
+        self._ckpt_records = []
+        self._last_val_metrics = None
+        self.best_model_path = None
 
         self._key = jax.random.PRNGKey(self.seed)
 
@@ -318,6 +341,7 @@ class Trainer:
             self.current_epoch += 1
             if self.current_epoch % self.check_val_every_n_epoch == 0:
                 metrics = self.run_evaluation("val")
+                self._last_val_metrics = metrics
                 print(
                     f"epoch {self.current_epoch} "
                     + " ".join(
@@ -327,7 +351,7 @@ class Trainer:
                     flush=True,
                 )
             if self.checkpoint_enabled:
-                self.save_checkpoint()
+                self.save_checkpoint(self._last_val_metrics)
         elapsed = time.time() - t_start
         if self.writer is not None:
             self.writer.flush()
@@ -376,6 +400,16 @@ class Trainer:
         if not self.config["model"]["refractory_period"]["freeze"]:
             self.log_scalar("train/refractory_period",
                             host_aux["refractory_period"])
+        overflow = float(host_aux.get("sample_overflow", 0))
+        if overflow > 0:
+            print(
+                f"WARNING: train sample-buffer overflow ({overflow:.0f} "
+                "marched samples dropped this step) — the batch exceeded "
+                "the 1.25x train_eff_ray_sample_batch_size buffer; the "
+                "controller will shrink the batch next step",
+                flush=True,
+            )
+        self.log_scalar("train/sample_overflow", overflow)
         self.log_scalar("train/batch_size", batch_size)
         self.log_scalar("train/mean_num_samples_per_ray",
                         host_aux["mean_num_samples_per_ray"])
@@ -411,31 +445,24 @@ class Trainer:
                 self.config["model"]["eval_save_pred_intensity_img"]
             ) and stage_name == "test"
 
-        # two-phase render: dispatch every image's chunks asynchronously,
-        # then one fetch wave — over the high-latency device link this
-        # pipelines all eval compute behind a single round-trip train of
-        # fetches (round-1 ROADMAP #3)
-        dispatched = []
-        for i in range(len(stage.img)):
-            dispatched.append(train_mod.render_image_dispatch(
-                self.params, self.buffers, self.occ_state["binary"],
-                self.spec, self.eval_chunk_fn, stage.intrinsics_inv,
-                stage.img_pixel_pos, stage.T_wc_position[i],
-                stage.T_wc_orientation[i], num_chips=self.num_chips,
-            ))
-        preds = []
-        total_overflow = 0
-        for outs, totals in dispatched:
-            img, overflow = train_mod.assemble_image(
-                outs, totals, stage.img_pixel_pos, self.spec
-            )
-            total_overflow += overflow
-            preds.append(img)
+        # pose-batched render: ALL images' rays concatenate into one
+        # chunk train with per-ray poses (chunks span pose boundaries),
+        # dispatched asynchronously with a single fetch wave at the end —
+        # over the high-latency device link the pipelining matters more
+        # than the per-chunk compute (round-2 VERDICT weak #6)
+        outs, totals = train_mod.render_images_dispatch(
+            self.params, self.buffers, self.occ_state["binary"],
+            self.spec, self.eval_chunk_fn, stage.intrinsics_inv,
+            stage.img_pixel_pos, stage.T_wc_position,
+            stage.T_wc_orientation, num_chips=self.num_chips,
+        )
+        pred, total_overflow = train_mod.assemble_images(
+            outs, totals, stage.img_pixel_pos, len(stage.img), self.spec
+        )
         if total_overflow:
             print(f"WARNING: eval sample-buffer overflow "
                   f"({total_overflow} samples dropped) — raise "
                   f"model.nerf.eval_sample_capacity")
-        pred = np.stack(preds, axis=0)  # (N, H, W, C)
         pred = np.moveaxis(pred, -1, 1)  # (N, C, H, W)
 
         target = np.asarray(stage.img)
@@ -526,10 +553,57 @@ class Trainer:
     # checkpointing
     # ------------------------------------------------------------------
 
-    def save_checkpoint(self):
+    def _is_better(self, score, reference):
+        if self.ckpt_mode == "max":
+            return score > reference
+        return score < reference
+
+    def save_checkpoint(self, metrics=None):
+        """Save a checkpoint honoring the `checkpoint:` config block
+        (ModelCheckpoint semantics, run.py:66-70).
+
+        With `monitor` set, the checkpoint is ranked by that metric from
+        the most recent validation; only the best `save_top_k` are kept
+        (the rest are deleted), so e.g. `monitor: val/psnr, mode: max`
+        retains the peak-quality model instead of the last one.  Without a
+        monitor, the latest `save_top_k` checkpoints are kept.
+        """
         if not self.is_main_process:
             return None
-        folder = os.path.join(self.log_dir, "checkpoints")
+        if self.ckpt_save_top_k == 0:
+            return None
+        if (
+            self.current_epoch > 0
+            and self.current_epoch % self.ckpt_every_n_epochs != 0
+        ):
+            return None
+        score = None
+        if self.ckpt_monitor is not None:
+            if metrics is None:
+                metrics = self._last_val_metrics
+            score = (metrics or {}).get(self.ckpt_monitor)
+            if score is None:
+                print(
+                    f"WARNING: checkpoint.monitor="
+                    f"{self.ckpt_monitor!r} was not found in the logged "
+                    "metrics; skipping checkpoint"
+                )
+                return None
+            score = float(score)
+            if (
+                self.ckpt_save_top_k > 0
+                and len(self._ckpt_records) >= self.ckpt_save_top_k
+            ):
+                # the record a new checkpoint must beat: the worst kept one
+                if self.ckpt_mode == "max":
+                    worst = min(self._ckpt_records, key=lambda r: r[0])
+                else:
+                    worst = max(self._ckpt_records, key=lambda r: r[0])
+                if not self._is_better(score, worst[0]):
+                    return None
+        folder = self.ckpt_dirpath or os.path.join(
+            self.log_dir, "checkpoints"
+        )
         path = os.path.join(
             folder,
             f"epoch={self.current_epoch - 1}-step={self.global_step}.npz",
@@ -542,32 +616,97 @@ class Trainer:
         ))
         ckpt_mod.save_checkpoint(
             path, jax.device_get(self.params),
-            jax.device_get(self.opt_state),
+            None if self.ckpt_save_weights_only
+            else jax.device_get(self.opt_state),
             jax.device_get(self.occ_state), self.global_step,
             int(jax.device_get(self.ctrl)["batch_size"]),
             hparams=hparams,
         )
-        # save_top_k=1 behaviour: keep only the latest
+        self._ckpt_records.append((score, path))
         if (
-            self._last_ckpt_path
-            and self._last_ckpt_path != path
-            and os.path.isfile(self._last_ckpt_path)
+            self.ckpt_save_top_k > 0
+            and len(self._ckpt_records) > self.ckpt_save_top_k
         ):
-            os.remove(self._last_ckpt_path)
-        self._last_ckpt_path = path
-        return path
+            if self.ckpt_monitor is None:
+                drop = self._ckpt_records.pop(0)  # keep the latest k
+            else:
+                key = (lambda r: r[0]) if self.ckpt_mode == "max" \
+                    else (lambda r: -r[0])
+                drop = min(self._ckpt_records, key=key)
+                self._ckpt_records.remove(drop)
+            if drop[1] != path and os.path.isfile(drop[1]):
+                os.remove(drop[1])
+        if self.ckpt_monitor is not None and self._ckpt_records:
+            key = (lambda r: r[0]) if self.ckpt_mode == "min" \
+                else (lambda r: -r[0])
+            self.best_model_path = min(self._ckpt_records, key=key)[1]
+        else:
+            self.best_model_path = self._ckpt_records[-1][1] \
+                if self._ckpt_records else None
+        return path if any(p == path for _, p in self._ckpt_records) \
+            else None
+
+    def _validate_restore_hparams(self, flat):
+        """Warn when the checkpoint's stored hyperparameters disagree with
+        the active config (the counterpart of Lightning's hparams check on
+        restore, robust_e_nerf.py:162-173).  Differences in run plumbing
+        (logger paths, checkpoint/load flags, resume path) are expected and
+        ignored; differences in model/loss/optimizer/data hyperparameters
+        are surfaced."""
+        try:
+            stored = ckpt_mod.load_hparams(flat)
+        except Exception:
+            return []
+        stored_cfg = (stored or {}).get("config")
+        if not stored_cfg:
+            return []
+        active = json.loads(json.dumps(self.config, default=str))
+        skip_keys = {
+            "checkpoint_filepath", "load_state_dict", "freeze",
+            "resume_from_checkpoint", "dataset_directory", "save_dir",
+            "version", "dirpath",
+        }
+        mismatches = []
+
+        def walk(a, b, prefix):
+            if isinstance(a, dict) and isinstance(b, dict):
+                for k in sorted(set(a) & set(b)):
+                    if k in skip_keys:
+                        continue
+                    walk(a[k], b[k], f"{prefix}{k}.")
+            elif a != b and str(a) != str(b):
+                mismatches.append((prefix[:-1], a, b))
+
+        for section in ("model", "loss", "metric", "data", "optimizer",
+                        "multi_step_lr"):
+            if section in stored_cfg and section in active:
+                walk(stored_cfg[section], active[section], f"{section}.")
+        for key, stored_v, active_v in mismatches:
+            print(
+                f"WARNING: checkpoint hyperparameter {key!r} = "
+                f"{stored_v!r} differs from the active config's "
+                f"{active_v!r}"
+            )
+        return mismatches
 
     def restore(self, path):
         flat = ckpt_mod.load_checkpoint_flat(path)
+        self._validate_restore_hparams(flat)
         host_params = jax.device_get(self.params)
         host_opt = jax.device_get(self.opt_state)
         host_occ = jax.device_get(self.occ_state)
         self.params = mesh_mod.put_replicated(
             ckpt_mod.restore_params(flat, host_params), self.mesh
         )
-        self.opt_state = mesh_mod.put_replicated(
-            ckpt_mod.restore_opt_state(flat, host_opt), self.mesh
-        )
+        if any(k.startswith("opt/") for k in flat):
+            self.opt_state = mesh_mod.put_replicated(
+                ckpt_mod.restore_opt_state(flat, host_opt), self.mesh
+            )
+        else:
+            print(
+                "WARNING: checkpoint has no optimizer state "
+                "(save_weights_only); resuming with a fresh optimizer"
+            )
         self.occ_state = ckpt_mod.restore_occ_state(flat, host_occ)
         self.global_step = int(flat["step"])
         self.current_epoch = self.global_step // self.steps_per_epoch

@@ -44,6 +44,21 @@ class LossSpec:
     # fog-densification race documented in docs/ROADMAP.md without
     # measurably penalizing the converged surface.
     weight_density_sparsity: float = 0.0
+    # Optional schedule for the sparsity weight (docs/ROADMAP.md round-3
+    # item 1: strong while the surface forms, decayed/gated afterwards so
+    # the asymptotic loss approaches the exact reference loss):
+    #   mode "exp": lambda(step) = max(w * rate^(step / steps), floor)
+    #   mode "occ": lambda = w * clip((occ_frac - lo) / (hi - lo), 0, 1)
+    #     — a feedback gate on the occupancy grid's occupied fraction: the
+    #     fog race announces itself as a fattening grid (ROADMAP round-2
+    #     findings), so sparsity only engages when the grid grows past
+    #     `lo` and reaches full strength at `hi`.
+    sparsity_schedule_mode: Optional[str] = None  # None | "exp" | "occ"
+    sparsity_decay_steps: float = 2000.0
+    sparsity_decay_rate: float = 0.1
+    sparsity_floor: float = 0.0
+    sparsity_occ_frac_lo: float = 0.02
+    sparsity_occ_frac_hi: float = 0.10
 
     def __post_init__(self):
         assert self.weight_grad >= 0 and self.weight_diff >= 0
@@ -53,9 +68,13 @@ class LossSpec:
         assert self.param_weight_grad in PARAM_WEIGHT_CHOICES
         assert self.param_weight_diff in PARAM_WEIGHT_CHOICES
         assert self.weight_density_sparsity >= 0
+        assert self.sparsity_schedule_mode in (None, "exp", "occ")
+        assert self.sparsity_decay_steps > 0
+        assert self.sparsity_occ_frac_hi > self.sparsity_occ_frac_lo
 
 
 def build_loss_spec(loss_config) -> LossSpec:
+    schedule = dict(loss_config.get("density_sparsity_schedule") or {})
     return LossSpec(
         weight_grad=float(loss_config["weight"]["log_intensity_grad"]),
         weight_diff=float(loss_config["weight"]["log_intensity_diff"]),
@@ -66,7 +85,31 @@ def build_loss_spec(loss_config) -> LossSpec:
         weight_density_sparsity=float(
             loss_config["weight"].get("density_sparsity") or 0.0
         ),
+        sparsity_schedule_mode=schedule.get("mode"),
+        sparsity_decay_steps=float(schedule.get("decay_steps") or 2000.0),
+        sparsity_decay_rate=float(schedule.get("decay_rate") or 0.1),
+        sparsity_floor=float(schedule.get("floor") or 0.0),
+        sparsity_occ_frac_lo=float(schedule.get("occ_frac_lo") or 0.02),
+        sparsity_occ_frac_hi=float(schedule.get("occ_frac_hi") or 0.10),
     )
+
+
+def density_sparsity_weight(spec: LossSpec, step, occ_frac):
+    """Effective density-sparsity weight lambda for this step (device
+    scalar).  `step` is the optimizer step, `occ_frac` the occupancy
+    grid's occupied fraction."""
+    base = spec.weight_density_sparsity
+    mode = spec.sparsity_schedule_mode
+    if mode is None:
+        return base
+    if mode == "exp":
+        lam = base * spec.sparsity_decay_rate ** (
+            step.astype(jnp.float32) / spec.sparsity_decay_steps
+        )
+        return jnp.maximum(lam, spec.sparsity_floor)
+    lo, hi = spec.sparsity_occ_frac_lo, spec.sparsity_occ_frac_hi
+    gate = jnp.clip((occ_frac - lo) / (hi - lo), 0.0, 1.0)
+    return base * gate
 
 
 def masked_mean(values, mask, axis_name=None):

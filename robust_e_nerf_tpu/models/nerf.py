@@ -212,6 +212,7 @@ def render_rays(
         render_bkgd=bkgd,
         early_stop_eps=spec.early_stop_eps,
         alpha_thre=spec.alpha_thre,
+        max_samples_per_ray=march_spec.max_samples_per_ray,
     )
     depth = depth / (opacity + spec.opacity_eps)
     sigma_flat = sigma.reshape(-1)

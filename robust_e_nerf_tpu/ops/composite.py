@@ -12,6 +12,17 @@ a per-ray offset gather:
     T[i]     = exp(-(ecs[i] - ecs[ray_first[ray_idx[i]]]))
     w[i]     = (1 - exp(-sigma[i] * delta[i])) * T[i]
 
+The same ray-major ordering makes the per-ray accumulation (nerfacc's
+segmented `accumulate_along_rays` reduce) a *segment sum over contiguous
+rows*: a blocked cumulative sum of the `[w*radiance | w | w*t_mid]` payload
+plus two boundary gathers per ray, instead of a K-row scatter-add (scatters
+are priced per row on TPU; the K-row payload scatter was ~15% of the
+training step, docs/PERFORMANCE.md).  Precision: the block length is >= the
+per-ray sample cap, so every ray spans at most two blocks — its sum
+combines block-LOCAL prefix sums (error bounded by one block's magnitude)
+and at most one exact block total, never differences of a global
+megasample-length running sum.
+
 Early termination (`early_stop_eps`) and the alpha threshold (`alpha_thre`)
 become weight masks instead of control flow (the reference applies them as a
 sample filter inside the CUDA marcher, external/utils.py:106-119); samples
@@ -24,6 +35,48 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _segment_sums(payload, ray_first, counts, block):
+    """Per-ray sums of contiguous payload row segments via a blocked cumsum.
+
+    `payload` is (K, C) with segment rows already zero outside their
+    segments; ray r covers rows [ray_first[r], ray_first[r] + counts[r]).
+    Requires counts <= block (guaranteed upstream: counts are bounded by
+    the per-ray lattice length, which `block` is chosen to cover), so each
+    segment touches at most two blocks.
+    """
+    num_rows, n_cols = payload.shape
+    num_blocks = -(-num_rows // block)
+    pad = num_blocks * block - num_rows
+    if pad:
+        payload = jnp.pad(payload, ((0, pad), (0, 0)))
+    blocked = payload.reshape(num_blocks, block, n_cols)
+    within = jnp.cumsum(blocked, axis=1)        # inclusive, block-local
+    block_totals = within[:, -1]                # (num_blocks, C) exact sums
+    within_flat = within.reshape(num_blocks * block, n_cols)
+    flat_max = num_blocks * block - 1
+
+    start = jnp.clip(ray_first, 0, num_rows)              # inclusive
+    stop = jnp.clip(ray_first + counts, 0, num_rows)      # exclusive
+    last = jnp.maximum(stop - 1, 0)
+    b_start = start // block
+    b_last = last // block
+
+    # sum of the start block's rows BEFORE `start` (0 at a block boundary)
+    head_exc = jnp.where(
+        ((start % block) > 0)[:, None],
+        within_flat[jnp.clip(start - 1, 0, flat_max)],
+        0.0,
+    )
+    # sum of the last block's rows THROUGH `last`
+    tail_inc = within_flat[jnp.clip(last, 0, flat_max)]
+    acc = jnp.where(
+        (b_last == b_start)[:, None],
+        tail_inc - head_exc,
+        (block_totals[b_start] - head_exc) + tail_inc,
+    )
+    return jnp.where((stop > start)[:, None], acc, 0.0)
+
+
 def composite(
     sigma,            # (K,) or (K, 1) densities
     radiance,         # (K, C) post-activation radiance
@@ -32,6 +85,8 @@ def composite(
     render_bkgd=None,  # (C,) background radiance or None
     early_stop_eps=1e-4,
     alpha_thre=0.0,
+    max_samples_per_ray=1024,  # bounds a ray's buffer-segment length
+    accumulate="cumsum",       # "cumsum" | "scatter" (A/B oracle path)
 ):
     """Returns (colors (B, C), opacities (B,), depths (B,), n_visible ())."""
     sigma = sigma.reshape(-1)
@@ -53,23 +108,34 @@ def composite(
     visible = valid & (trans > early_stop_eps) & (alpha > 0.0)
     weights = jnp.where(visible, alpha * trans, 0.0)
 
-    # ONE K-row scatter-add for all three accumulations: scatters are
-    # priced per row regardless of width (docs/PERFORMANCE.md), and the
-    # three accumulators share their ray indices, so packing
-    # [w * radiance | w | w * t_mid] into a (K, C + 2) payload cuts the
-    # compositor's scatter rows 3x per render
+    # ONE (K, C + 2) payload for all three accumulations — w*radiance, w,
+    # and w*t_mid share their segment boundaries.  The accumulation dtype
+    # is pinned to the weights' (f32) so a lower-precision radiance (e.g.
+    # bf16 field output) never silently demotes the accumulators.
     n_chan = radiance.shape[-1]
+    acc_dtype = weights.dtype
     payload = jnp.concatenate(
         [
-            weights[:, None] * radiance,
+            weights[:, None] * radiance.astype(acc_dtype),
             weights[:, None],
             (weights * buf["t_mid"])[:, None],
         ],
         axis=-1,
     )
-    acc = jnp.zeros((num_rays, n_chan + 2), payload.dtype).at[
-        buf["ray_idx"]
-    ].add(payload)
+    if accumulate == "cumsum":
+        # contiguous-segment sums: blocked cumsum + 2 boundary gathers per
+        # ray (see module docstring); block covers the per-ray sample cap
+        block = max(1024, 1 << (max_samples_per_ray - 1).bit_length())
+        acc = _segment_sums(
+            payload, buf["ray_first"], buf["counts"], block
+        )
+        if acc.shape[0] != num_rays:  # ray_first/counts padded past B
+            acc = acc[:num_rays]
+    else:
+        assert accumulate == "scatter"
+        acc = jnp.zeros((num_rays, n_chan + 2), payload.dtype).at[
+            buf["ray_idx"]
+        ].add(payload)
     colors = acc[:, :n_chan]
     opacities = acc[:, n_chan]
     depths = acc[:, n_chan + 1]

@@ -174,7 +174,11 @@ def _packed_dense_level(table, x, meta: HashGridMeta, level):
     gathers are priced per row nearly independent of width
     (docs/PERFORMANCE.md), so this is ~8x cheaper on both the encode
     gather and the table-gradient scatter for dense levels.  Bit-exact
-    with the per-corner path (same rows, same weights).
+    with the per-corner path (same rows, same weights) for in-range and
+    boundary positions; positions far outside [0, 1] (base index beyond
+    res^D) clamp to the last row here but wrap through strided arithmetic
+    in the scan path — harmless, because the field's selector zeroes
+    out-of-aabb densities downstream (ngp.py:238,249).
     """
     res = meta.resolutions[level]
     offset = meta.offsets[level]

@@ -169,14 +169,17 @@ def _interp_1d_paired(pair_table, coord, resolution, n_comp):
     return pair[:, :n_comp] * (1.0 - w) + pair[:, n_comp:] * w
 
 
-# lines with at most this many rows interpolate via the soft-one-hot
-# matmul (MXU) instead of gather/scatter; REN_VM_LINE_MATMUL=0 disables
-# (A/B benchmarking escape hatch)
-import os as _os
+def _line_matmul_max_rows():
+    """Lines with at most this many rows interpolate via the soft-one-hot
+    matmul (MXU) instead of gather/scatter; REN_VM_LINE_MATMUL=0 disables
+    (A/B benchmarking escape hatch).  Read per call so setting the env var
+    after import still takes effect.  The cap also bounds the (N, L)
+    soft-one-hot transient: at the 2^20 sample budget a 1024-row cap is a
+    ~4 GB f32 peak (built twice under checkpointing), which fits because
+    nothing else large is live during the line stage."""
+    import os
 
-_LINE_MATMUL_MAX_ROWS = (
-    0 if _os.environ.get("REN_VM_LINE_MATMUL") == "0" else 1024
-)
+    return 0 if os.environ.get("REN_VM_LINE_MATMUL") == "0" else 1024
 
 
 def _interp_1d_matmul(table, coord, resolution):
@@ -217,7 +220,7 @@ def encode(params, x, meta: VMGridMeta):
     x = x.reshape(-1, meta.num_dim)
     x = jnp.clip(x, 0.0, 1.0)
     n_comp = meta.n_components
-    line_matmul = meta.line_resolution <= _LINE_MATMUL_MAX_ROWS
+    line_matmul = meta.line_resolution <= _line_matmul_max_rows()
     feats = []
     for k, ((a, b), c) in enumerate(_PROJECTIONS):
         plane_feat = _interp_2d_quad(

@@ -137,7 +137,21 @@ def main():
     import torch
 
     ckpt_path, out_path = sys.argv[1], sys.argv[2]
-    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Lightning checkpoints embed non-tensor objects (easydict
+        # hyperparameters), which the safe loader rejects.  Falling back
+        # executes the checkpoint's pickle stream — only convert
+        # checkpoints you trained yourself.
+        print(
+            "WARNING: safe (weights_only) load failed; falling back to "
+            "full unpickling — only do this with checkpoints from a "
+            "trusted source",
+            file=sys.stderr,
+        )
+        ckpt = torch.load(ckpt_path, map_location="cpu",
+                          weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     hparams = ckpt.get("hyper_parameters", {})
     try:

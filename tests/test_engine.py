@@ -247,6 +247,12 @@ def test_nan_guard_freezes_and_raises(dataset, tmp_path_factory):
     table[:] = np.nan
     params["nerf"]["radiance_field"]["hash"]["table"] = table
     trainer.params = mesh_mod.put_replicated(params, trainer.mesh)
+    # occupy the grid so rays actually march through the poisoned field
+    # (an empty grid renders zeros — no samples, no NaN, like the
+    # reference with zero marched samples)
+    occ = jax.device_get(trainer.occ_state)
+    occ["binary"] = np.ones_like(np.asarray(occ["binary"]))
+    trainer.occ_state = jax.tree_util.tree_map(jax.numpy.asarray, occ)
 
     out = trainer.train_step(
         trainer.params, trainer.opt_state, trainer.ctrl, trainer.buffers,
@@ -319,3 +325,191 @@ def test_multichip_eval_matches_single(dataset, tmp_path_factory):
     m8 = t8.run_evaluation("val")
     for name in ("val/l1", "val/psnr", "val/ssim"):
         assert abs(m1[name] - m8[name]) < 1e-4, (name, m1[name], m8[name])
+
+
+def test_checkpoint_monitor_top_k(trained, tmp_path_factory):
+    """checkpoint.monitor/mode/save_top_k (run.py:66-70,
+    configs/train/synthetic.yaml:135-141): with monitor=val/psnr, mode=max,
+    save_top_k=1 only the best-scoring checkpoint survives."""
+    tmp = tmp_path_factory.mktemp("ckpt_monitor")
+    saved = (
+        trained.ckpt_monitor, trained.ckpt_mode, trained.ckpt_save_top_k,
+        trained.ckpt_dirpath, trained._ckpt_records, trained.global_step,
+        trained.best_model_path,
+    )
+    try:
+        trained.ckpt_monitor = "val/psnr"
+        trained.ckpt_mode = "max"
+        trained.ckpt_save_top_k = 1
+        trained.ckpt_dirpath = str(tmp)
+        trained._ckpt_records = []
+        p1 = trained.save_checkpoint({"val/psnr": 10.0})
+        trained.global_step += 1
+        p2 = trained.save_checkpoint({"val/psnr": 12.0})
+        trained.global_step += 1
+        p3 = trained.save_checkpoint({"val/psnr": 11.0})
+        assert p1 is not None and p2 is not None
+        assert p3 is None                  # worse than the kept best
+        assert not os.path.isfile(p1)      # evicted by the better p2
+        assert os.path.isfile(p2)
+        assert trained.best_model_path == p2
+        # a missing monitor metric skips the save with a warning
+        trained.global_step += 1
+        assert trained.save_checkpoint({"val/l1": 0.5}) is None
+    finally:
+        (trained.ckpt_monitor, trained.ckpt_mode, trained.ckpt_save_top_k,
+         trained.ckpt_dirpath, trained._ckpt_records, trained.global_step,
+         trained.best_model_path) = saved
+
+
+def test_checkpoint_top_k_latest_without_monitor(trained, tmp_path_factory):
+    """Without a monitor, save_top_k keeps the LATEST k checkpoints."""
+    tmp = tmp_path_factory.mktemp("ckpt_latest")
+    saved = (
+        trained.ckpt_save_top_k, trained.ckpt_dirpath,
+        trained._ckpt_records, trained.global_step,
+    )
+    try:
+        trained.ckpt_save_top_k = 2
+        trained.ckpt_dirpath = str(tmp)
+        trained._ckpt_records = []
+        paths = []
+        for _ in range(3):
+            paths.append(trained.save_checkpoint())
+            trained.global_step += 1
+        assert not os.path.isfile(paths[0])  # oldest evicted
+        assert os.path.isfile(paths[1]) and os.path.isfile(paths[2])
+    finally:
+        (trained.ckpt_save_top_k, trained.ckpt_dirpath,
+         trained._ckpt_records, trained.global_step) = saved
+
+
+def test_checkpoint_every_n_epochs(trained, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ckpt_cadence")
+    saved = (
+        trained.ckpt_every_n_epochs, trained.ckpt_dirpath,
+        trained._ckpt_records, trained.current_epoch,
+    )
+    try:
+        trained.ckpt_every_n_epochs = 2
+        trained.ckpt_dirpath = str(tmp)
+        trained._ckpt_records = []
+        trained.current_epoch = 1
+        assert trained.save_checkpoint() is None   # off-cadence epoch
+        trained.current_epoch = 2
+        assert trained.save_checkpoint() is not None
+    finally:
+        (trained.ckpt_every_n_epochs, trained.ckpt_dirpath,
+         trained._ckpt_records, trained.current_epoch) = saved
+
+
+def test_checkpoint_save_weights_only(trained, tmp_path_factory):
+    """save_weights_only drops the optimizer state; restore() then warns
+    and resumes with a fresh optimizer."""
+    tmp = tmp_path_factory.mktemp("ckpt_weights_only")
+    saved = (
+        trained.ckpt_save_weights_only, trained.ckpt_dirpath,
+        trained._ckpt_records,
+    )
+    try:
+        trained.ckpt_save_weights_only = True
+        trained.ckpt_dirpath = str(tmp)
+        trained._ckpt_records = []
+        path = trained.save_checkpoint()
+        flat = ckpt_mod.load_checkpoint_flat(path)
+        assert not any(k.startswith("opt/") for k in flat)
+        assert any(k.startswith("params/") for k in flat)
+        # restorable: params land, optimizer stays fresh
+        params_before = jax.device_get(trained.params)
+        restored = ckpt_mod.restore_params(flat, params_before)
+        np.testing.assert_array_equal(
+            np.asarray(
+                restored["nerf"]["radiance_field"]["hash"]["table"]
+            ),
+            np.asarray(
+                params_before["nerf"]["radiance_field"]["hash"]["table"]
+            ),
+        )
+    finally:
+        (trained.ckpt_save_weights_only, trained.ckpt_dirpath,
+         trained._ckpt_records) = saved
+
+
+def test_restore_warns_on_hparams_mismatch(trained, tmp_path_factory):
+    """Hyperparameter validation on restore (the counterpart of
+    Lightning's hparams check, robust_e_nerf.py:162-173)."""
+    tmp = tmp_path_factory.mktemp("ckpt_hparams")
+    saved_dir = trained.ckpt_dirpath
+    saved_records = trained._ckpt_records
+    trained.ckpt_dirpath = str(tmp)
+    trained._ckpt_records = []
+    try:
+        path = trained.save_checkpoint()
+        flat = ckpt_mod.load_checkpoint_flat(path)
+        old = trained.config["model"]["min_modeled_intensity"]
+        trained.config["model"]["min_modeled_intensity"] = 123.456
+        try:
+            mismatches = trained._validate_restore_hparams(flat)
+        finally:
+            trained.config["model"]["min_modeled_intensity"] = old
+        assert any("min_modeled_intensity" in key
+                   for key, _, _ in mismatches)
+        # matching config -> no mismatches
+        assert trained._validate_restore_hparams(flat) == []
+    finally:
+        trained.ckpt_dirpath = saved_dir
+        trained._ckpt_records = saved_records
+
+
+def test_train_sample_overflow_surfaced(dataset, tmp_path_factory):
+    """Training-path sample-buffer overflow must be observable: with a
+    deliberately tiny sample budget (capacity = 1.25x budget) and a large
+    ray batch, aux['sample_overflow'] counts the dropped marched samples
+    (the reference renders every marched sample, external/utils.py:106-129)."""
+    tmp = tmp_path_factory.mktemp("engine_overflow")
+    cfg = tiny_config(
+        dataset, tmp,
+        **{"data.train_eff_ray_sample_batch_size": 256,
+           "data.train_init_eff_batch_size": 512,
+           "data.train_ray_batch_capacity": 1024,
+           "trainer.limit_train_batches": 1},
+    )
+    trainer = Trainer(cfg, logging_enabled=False)
+    # fully occupied grid -> every ray marches its whole lattice, far
+    # beyond the tiny 1.25 * 256-sample buffer
+    occ = jax.device_get(trainer.occ_state)
+    occ["binary"] = np.ones_like(np.asarray(occ["binary"]))
+    trainer.occ_state = jax.tree_util.tree_map(jax.numpy.asarray, occ)
+    out = trainer.train_step(
+        trainer.params, trainer.opt_state, trainer.ctrl, trainer.buffers,
+        trainer.device_table, trainer.occ_state["binary"], trainer._key,
+    )
+    aux = jax.device_get(out[4])
+    assert float(aux["sample_overflow"]) > 0
+
+
+def test_pose_batched_eval_matches_per_image(trained):
+    """The pose-batched eval pipeline (all images' rays in one chunk
+    train) must match the single-image render path per ray (chunk
+    regrouping only reorders the sample buffer -> float-tolerance)."""
+    from robust_e_nerf_tpu.engine import train as train_mod
+
+    stage = trained.model.val_stage
+    outs, totals = train_mod.render_images_dispatch(
+        trained.params, trained.buffers, trained.occ_state["binary"],
+        trained.spec, trained.eval_chunk_fn, stage.intrinsics_inv,
+        stage.img_pixel_pos, stage.T_wc_position,
+        stage.T_wc_orientation, num_chips=trained.num_chips,
+    )
+    batched, _ = train_mod.assemble_images(
+        outs, totals, stage.img_pixel_pos, len(stage.img), trained.spec
+    )
+    for i in range(len(stage.img)):
+        single, _ = train_mod.render_image(
+            trained.params, trained.buffers, trained.occ_state["binary"],
+            trained.spec, trained.eval_chunk_fn, stage.intrinsics_inv,
+            stage.img_pixel_pos, stage.T_wc_position[i],
+            stage.T_wc_orientation[i], num_chips=trained.num_chips,
+        )
+        np.testing.assert_allclose(batched[i], single, rtol=1e-4,
+                                   atol=1e-5)

@@ -351,3 +351,103 @@ def test_render_rays_sigma_reg_is_mean_cauchy():
         / max(m.sum(), 1.0)
     )
     np.testing.assert_allclose(float(sigma_reg), want, rtol=1e-5)
+
+
+def test_composite_cumsum_matches_scatter():
+    """The segmented-cumsum accumulation (default) must match the K-row
+    scatter-add on a randomized synthetic buffer, including rays that cross
+    cumsum block boundaries and rays truncated by capacity."""
+    rng = np.random.default_rng(7)
+    num_rays, capacity, max_spr = 37, 1 << 12, 300
+    counts = rng.integers(0, max_spr, size=num_rays).astype(np.int64)
+    counts[3] = 0  # empty ray
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    total = int(ends[-1])
+    assert total > capacity  # force tail-ray truncation
+
+    slot = np.arange(capacity)
+    ray_idx = np.searchsorted(ends, slot, side="right")
+    ray_idx = np.minimum(ray_idx, num_rays - 1)
+    valid = slot < total
+    buf = {
+        "ray_idx": jnp.asarray(ray_idx.astype(np.int32)),
+        "t_mid": jnp.asarray(
+            rng.uniform(0.5, 3.0, capacity).astype(np.float32)
+        ),
+        "delta": jnp.asarray(
+            rng.uniform(0.001, 0.01, capacity).astype(np.float32)
+        ),
+        "valid": jnp.asarray(valid),
+        "ray_first": jnp.asarray(starts.astype(np.int32)),
+        "counts": jnp.asarray(counts.astype(np.int32)),
+        "total": jnp.int32(total),
+    }
+    sigma = jnp.asarray(rng.gamma(1.0, 2.0, capacity).astype(np.float32))
+    radiance = jnp.asarray(
+        rng.uniform(0.0, 1.0, (capacity, 3)).astype(np.float32)
+    )
+    outs = {}
+    for mode in ("cumsum", "scatter"):
+        outs[mode] = comp.composite(
+            sigma, radiance, buf, num_rays,
+            render_bkgd=jnp.asarray([0.2, 0.4, 0.6]),
+            early_stop_eps=1e-4, alpha_thre=1e-3,
+            max_samples_per_ray=max_spr, accumulate=mode,
+        )
+    for a, b in zip(outs["cumsum"][:3], outs["scatter"][:3]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
+    assert int(outs["cumsum"][3]) == int(outs["scatter"][3])
+
+
+def test_composite_cumsum_block_boundary_precision():
+    """A ray whose segment straddles a block boundary must get block-local
+    precision — its sum must match a float64 oracle closely even when
+    earlier rays carry large accumulated magnitudes."""
+    num_rays, capacity = 3, 4096
+    counts = np.array([2000, 100, 1500], np.int64)  # ray 1 crosses 2048
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    slot = np.arange(capacity)
+    ray_idx = np.minimum(
+        np.searchsorted(ends, slot, side="right"), num_rays - 1
+    )
+    rng = np.random.default_rng(3)
+    t_mid = rng.uniform(1.0, 2.0, capacity).astype(np.float32)
+    buf = {
+        "ray_idx": jnp.asarray(ray_idx.astype(np.int32)),
+        "t_mid": jnp.asarray(t_mid),
+        "delta": jnp.asarray(np.full(capacity, 1e-4, np.float32)),
+        "valid": jnp.asarray(slot < int(ends[-1])),
+        "ray_first": jnp.asarray(starts.astype(np.int32)),
+        "counts": jnp.asarray(counts.astype(np.int32)),
+        "total": jnp.int32(int(ends[-1])),
+    }
+    sigma = jnp.asarray(
+        rng.gamma(2.0, 5.0, capacity).astype(np.float32)
+    )
+    radiance = jnp.asarray(
+        rng.uniform(0.0, 1.0, (capacity, 1)).astype(np.float32)
+    )
+    colors, opacity, depth, _ = comp.composite(
+        sigma, radiance, buf, num_rays, early_stop_eps=0.0,
+        alpha_thre=0.0, max_samples_per_ray=2048,
+    )
+    # float64 oracle
+    sig = np.asarray(sigma, np.float64)
+    dt = np.asarray(buf["delta"], np.float64)
+    rad = np.asarray(radiance, np.float64)
+    for r in range(num_rays):
+        seg = slice(starts[r], ends[r])
+        sdt = sig[seg] * dt[seg]
+        trans = np.exp(-(np.cumsum(sdt) - sdt))
+        w = (1 - np.exp(-sdt)) * trans
+        np.testing.assert_allclose(
+            float(colors[r, 0]), float(np.sum(w * rad[seg, 0])),
+            rtol=2e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            float(opacity[r]), float(np.sum(w)), rtol=2e-4, atol=2e-5
+        )

@@ -93,3 +93,74 @@ def test_target_gradient_uses_effective_interval():
     log_diff = 0.2
     target = log_diff / float(interval[0])
     assert abs(target - log_diff / (0.01 - tau)) < 1e-6 * abs(target)
+
+
+def test_density_sparsity_weight_schedules():
+    """Opt-in sparsity schedule (docs/ROADMAP.md round-3 item 1): exp decay
+    and occupancy-fraction gating; no schedule -> constant weight."""
+    import jax.numpy as jnp
+
+    from robust_e_nerf_tpu.loss_metric import loss as loss_mod
+
+    base = dict(
+        weight_grad=0.0, weight_diff=1.0, error_fn_grad="mape",
+        error_fn_diff="mse", param_weight_grad=None,
+        param_weight_diff=None, weight_density_sparsity=0.01,
+    )
+    spec = loss_mod.LossSpec(**base)
+    assert loss_mod.density_sparsity_weight(
+        spec, jnp.int32(500), jnp.float32(0.5)
+    ) == 0.01
+
+    spec = loss_mod.LossSpec(
+        **base, sparsity_schedule_mode="exp",
+        sparsity_decay_steps=1000.0, sparsity_decay_rate=0.1,
+        sparsity_floor=1e-4,
+    )
+    lam0 = float(loss_mod.density_sparsity_weight(
+        spec, jnp.int32(0), jnp.float32(0.0)))
+    lam1k = float(loss_mod.density_sparsity_weight(
+        spec, jnp.int32(1000), jnp.float32(0.0)))
+    lam_inf = float(loss_mod.density_sparsity_weight(
+        spec, jnp.int32(100000), jnp.float32(0.0)))
+    assert abs(lam0 - 0.01) < 1e-8
+    assert abs(lam1k - 0.001) < 1e-6
+    assert abs(lam_inf - 1e-4) < 1e-9  # clamped at the floor
+
+    spec = loss_mod.LossSpec(
+        **base, sparsity_schedule_mode="occ",
+        sparsity_occ_frac_lo=0.02, sparsity_occ_frac_hi=0.10,
+    )
+    lam_lean = float(loss_mod.density_sparsity_weight(
+        spec, jnp.int32(0), jnp.float32(0.01)))
+    lam_mid = float(loss_mod.density_sparsity_weight(
+        spec, jnp.int32(0), jnp.float32(0.06)))
+    lam_fat = float(loss_mod.density_sparsity_weight(
+        spec, jnp.int32(0), jnp.float32(0.5)))
+    assert lam_lean == 0.0
+    assert abs(lam_mid - 0.005) < 1e-8
+    assert abs(lam_fat - 0.01) < 1e-9
+
+
+def test_build_loss_spec_parses_schedule():
+    from robust_e_nerf_tpu.loss_metric import loss as loss_mod
+
+    cfg = {
+        "weight": {"log_intensity_grad": 0.0, "log_intensity_diff": 1.0,
+                   "density_sparsity": 0.02},
+        "error_fn": {"log_intensity_grad": "mape",
+                     "log_intensity_diff": "mse"},
+        "param_weight": {"log_intensity_grad": None,
+                         "log_intensity_diff": None},
+        "density_sparsity_schedule": {
+            "mode": "exp", "decay_steps": 500, "decay_rate": 0.5,
+        },
+    }
+    spec = loss_mod.build_loss_spec(cfg)
+    assert spec.sparsity_schedule_mode == "exp"
+    assert spec.sparsity_decay_steps == 500.0
+    assert spec.sparsity_decay_rate == 0.5
+    # no schedule block -> constant mode
+    del cfg["density_sparsity_schedule"]
+    spec = loss_mod.build_loss_spec(cfg)
+    assert spec.sparsity_schedule_mode is None
