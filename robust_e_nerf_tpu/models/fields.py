@@ -206,10 +206,14 @@ def build_ngp_spec(arch_config, contraction_type, radiance_dim, num_dim=3):
         contraction_type=contraction_type,
         radiance_dim=radiance_dim,
         num_dim=num_dim,
-        # the (K, L, 8, F) gather intermediates of a megasample render do
-        # not fit HBM as backward residuals (the reference's fused CUDA
-        # kernels never materialize them); remat recomputes them instead
-        remat=bool(arch_config.get("remat", True)),
+        # The per-level jax.checkpoint inside ops/hash_grid.encode already
+        # bounds backward residuals to one level's working set, so the
+        # outer field-level remat is redundant for ngp — and costly: with
+        # it on, every level's corner gathers run 3x per render (forward,
+        # outer-remat recompute, inner-checkpoint recompute).  Default off
+        # since round 3; `nerf.ngp.remat: true` restores it for
+        # memory-constrained runs.
+        remat=bool(arch_config.get("remat", False)),
     )
 
 

@@ -84,11 +84,6 @@ def build_nerf_spec(
     )
     if eval_capacity is None:
         eval_capacity = train_capacity
-    # Experimental: the fused Pallas marcher is exact (parity-tested in
-    # interpret mode) but current Mosaic cannot lower its lane->sublane
-    # relayout on real TPUs (docs/PERFORMANCE.md), so "auto" resolves off.
-    pallas_march = nerf_config.get("pallas_march", "auto")
-    use_pallas = pallas_march is True
     march_kwargs = dict(
         contraction_type=contraction_type,
         render_step_size=render_step_size,
@@ -96,7 +91,6 @@ def build_nerf_spec(
         far_plane=None if far is None else float(far),
         cone_angle=cone_angle,
         max_samples_per_ray=max_s,
-        use_pallas=use_pallas,
     )
     march_train = ray_march.MarchSpec(capacity=int(train_capacity),
                                       **march_kwargs)

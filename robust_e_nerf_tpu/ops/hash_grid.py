@@ -28,8 +28,37 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.custom_derivatives import linear_call
 
 _PRIMES = (1, 2654435761, 805459861)
+
+
+def _gather_rows(table, flat_idx, total_entries, n_features):
+    """`table[flat_idx]` with a transpose built from per-feature 1-D
+    scatter-adds.
+
+    XLA's native transpose of a row gather is a scatter-add of (M, F)
+    rows, which on TPU runs ~3.3x slower than F independent 1-D
+    scatter-adds at the same contribution count (measured at the ngp
+    backward's shapes, scripts/bench_hash_transpose2.py).  `linear_call`
+    keeps both forward-mode (the l_grad jvp) and reverse-mode AD intact:
+    the jvp of a gather is the same gather on the tangent table.
+    """
+
+    def gather_fn(idx, tab):
+        return tab[idx]
+
+    def gather_transpose(idx, ct):  # ct: idx.shape + (F,)
+        flat = idx.reshape(-1)
+        cols = [
+            jnp.zeros((total_entries,), ct.dtype).at[flat].add(
+                ct[..., f].reshape(-1)
+            )
+            for f in range(n_features)
+        ]
+        return jnp.stack(cols, axis=-1)
+
+    return linear_call(gather_fn, gather_transpose, flat_idx, table)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -282,7 +311,7 @@ def encode(table, x, meta: HashGridMeta):
     )
     level_hashed = jnp.asarray([meta.hashed[l] for l in scan_levels])
 
-    def level_features(carry, level_consts):
+    def level_features_x(table, x, level_consts):
         scale, res, size, offset, use_hash = level_consts
         p = x * scale + 0.5
         p0 = jnp.floor(p)
@@ -291,13 +320,19 @@ def encode(table, x, meta: HashGridMeta):
         if interpolation == "Nearest":
             corner_coords = p0 + (w > 0.5).astype(jnp.uint32)  # (N, D)
             idx = _level_indices(corner_coords, res, size, use_hash, tiled)
-            feats = table[(offset + idx).astype(jnp.int32)]
+            feats = _gather_rows(
+                table, (offset + idx).astype(jnp.int32),
+                meta.total_entries, meta.n_features_per_level,
+            )
         else:
             if interpolation == "Smoothstep":
                 w = w * w * (3.0 - 2.0 * w)
             corner_coords = p0[:, None, :] + corners[None, :, :]  # (N, C, D)
             idx = _level_indices(corner_coords, res, size, use_hash, tiled)
-            gathered = table[(offset + idx).astype(jnp.int32)]  # (N, C, F)
+            gathered = _gather_rows(
+                table, (offset + idx).astype(jnp.int32),
+                meta.total_entries, meta.n_features_per_level,
+            )  # (N, C, F)
             corner_f = corners.astype(x.dtype)  # (C, D)
             weights = jnp.prod(
                 corner_f[None] * w[:, None, :]
@@ -308,7 +343,7 @@ def encode(table, x, meta: HashGridMeta):
                 "nc,ncf->nf", weights, gathered,
                 preferred_element_type=table.dtype,
             )
-        return carry, feats
+        return feats
 
     features = [None] * meta.n_levels
     for level in packed_levels:
@@ -320,19 +355,62 @@ def encode(table, x, meta: HashGridMeta):
         features[level] = packed_fn(table, x)
 
     if scan_levels:
-        # checkpoint the level body: the scan would otherwise stack every
-        # level's corner gathers/weights as (L, N, 8[, F]) backward
-        # residuals, which the TPU pads 16x on the trailing axis (10+ GB
-        # at megasample budgets); recomputing each level's gathers in the
-        # backward scan keeps peak memory at one level's working set
-        _, per_level = jax.lax.scan(
-            jax.checkpoint(level_features),
-            None,
-            (level_scale, level_res, level_size, level_offset,
-             level_hashed),
-        )  # (L', N, F)
-        for i, level in enumerate(scan_levels):
-            features[level] = per_level[i]
+        import os
+
+        # Unrolling the levels lets XLA overlap their latency-bound
+        # gathers/scatters (~4% step win at 2^18) but makes each level's
+        # 16x-padded (N, 8, 3) corner-coords temp live concurrently —
+        # 1.9 GB each at the 2^20 budget, a compile-time OOM.  The scan
+        # serializes the temps, so auto-select by N; REN_HASH_UNROLL=0/1
+        # overrides.
+        unroll_env = os.environ.get("REN_HASH_UNROLL")
+        if unroll_env is not None:
+            unroll = unroll_env != "0"
+        else:
+            unroll = n <= (1 << 19)
+        if unroll:
+            # Unrolled per-level loop (still checkpointed per level, so
+            # backward memory stays at one level's working set): unlike
+            # lax.scan, the unrolled graph lets XLA overlap the
+            # latency-bound corner gathers/scatters of different levels.
+            # Per-level static constants (plain Python numbers) also save
+            # the in-graph const indexing the scan needs.
+            for level in scan_levels:
+                consts = (
+                    np.float32(
+                        meta.base_resolution
+                        * meta.per_level_scale**level - 1.0
+                    ),
+                    np.uint32(meta.resolutions[level]),
+                    np.uint32(meta.sizes[level]),
+                    np.uint32(meta.offsets[level]),
+                    bool(meta.hashed[level]),
+                )
+                # consts bound statically (lambda default) so the level's
+                # resolution/size/offset/hashed fold into the compiled
+                # graph instead of being traced scalars
+                fn = jax.checkpoint(
+                    lambda tab, xx, c=consts: level_features_x(tab, xx, c)
+                )
+                features[level] = fn(table, x)
+        else:
+            # checkpoint the level body: the scan would otherwise stack
+            # every level's corner gathers/weights as (L, N, 8[, F])
+            # backward residuals (10+ GB at megasample budgets);
+            # recomputing each level's gathers in the backward scan keeps
+            # peak memory at one level's working set
+            _, per_level = jax.lax.scan(
+                jax.checkpoint(
+                    lambda carry, consts: (
+                        carry, level_features_x(table, x, consts)
+                    )
+                ),
+                None,
+                (level_scale, level_res, level_size, level_offset,
+                 level_hashed),
+            )  # (L', N, F)
+            for i, level in enumerate(scan_levels):
+                features[level] = per_level[i]
 
     out = jnp.concatenate(features, axis=-1)
     del num_corners
@@ -380,7 +458,10 @@ def encode_batched(table, x, meta: HashGridMeta):
         tiled,
     )                                                       # (N, L, C)
     flat_idx = (level_offset[None, :, None] + idx).astype(jnp.int32)
-    gathered = table[flat_idx.reshape(n, num_levels * num_corners)]
+    gathered = _gather_rows(
+        table, flat_idx.reshape(n, num_levels * num_corners),
+        meta.total_entries, meta.n_features_per_level,
+    )
     gathered = gathered.reshape(
         n, num_levels, num_corners, meta.n_features_per_level
     )

@@ -48,7 +48,6 @@ class MarchSpec:
     cone_angle: float
     max_samples_per_ray: int  # S: static lattice length
     capacity: int             # K: compacted sample-buffer length
-    use_pallas: bool = False  # fused mask kernel (ops/pallas/march_kernel)
 
 
 def max_lattice_samples(aabb, render_step_size, near_plane, far_plane,
@@ -314,18 +313,6 @@ def _compact_from_words(words, cum_words, t_min, step0,
     }
 
 
-def _compact_from_within(within, t_min, step0, spec: MarchSpec, num_rays):
-    """Adapter for callers holding a sample-level mask cumsum (the Pallas
-    march kernel): rebuild the mask, bit-pack, compact."""
-    shifted = jnp.concatenate(
-        [jnp.zeros_like(within[:, :1]), within[:, :-1]], axis=1
-    )
-    mask = within > shifted
-    words, cum_words = _pack_mask_words(mask)
-    return _compact_from_words(words, cum_words, t_min, step0, spec,
-                               num_rays)
-
-
 def _march_prefix(origins, directions, t_min, t_max, step0, occ_binary,
                   aabb, occ_spec, spec: MarchSpec, prefix):
     """March a static ray bucket and compact; ray-level outputs padded back
@@ -390,7 +377,6 @@ def march_and_compact(
       total     ()  int32    surviving samples before capacity clipping
     """
     num_rays = origins.shape[0]
-    num_samples = spec.max_samples_per_ray
 
     if spec.contraction_type == contraction_mod.AABB:
         t_min, t_max = ray_aabb_intersect(origins, directions, aabb)
@@ -407,35 +393,8 @@ def march_and_compact(
     else:
         step0 = jnp.zeros((num_rays,), jnp.float32)
 
-    uniform_lattice = spec.cone_angle <= 0.0
-    use_kernel = (
-        spec.use_pallas
-        and uniform_lattice
-        and num_rays % 64 == 0
-        and num_samples % 128 == 0
-    )
     # ray_valid folds into t_max so all paths share it
     t_max = jnp.where(ray_valid, t_max, t_min)
-
-    if use_kernel:
-        from .pallas import march_kernel
-
-        packed_planes = march_kernel.pack_occupancy(
-            occ_binary, occ_spec.resolution
-        )
-        if packed_planes[0].shape[0] > 1024:
-            use_kernel = False  # 256^3 grids exceed the one-hot budget
-    if use_kernel:
-        within = march_kernel.march_mask_cumsum(
-            aabb, origins, directions, t_min, t_max, step0,
-            packed_planes,
-            num_samples,
-            occ_spec.resolution,
-            spec.contraction_type,
-            spec.render_step_size,
-            jax.default_backend() != "tpu",
-        )
-        return _compact_from_within(within, t_min, step0, spec, num_rays)
 
     if n_valid is None:
         return _march_prefix(

@@ -52,6 +52,20 @@ def main():
         cfg["loss"]["weight"]["density_sparsity"] = float(
             os.environ["REN_DIAG_SREG"]
         )
+    if "REN_DIAG_SREG_MODE" in os.environ:
+        # schedule experiments (ROADMAP round-3 item 1):
+        #   exp: REN_DIAG_SREG_STEPS / REN_DIAG_SREG_RATE / REN_DIAG_SREG_FLOOR
+        #   occ: REN_DIAG_SREG_LO / REN_DIAG_SREG_HI
+        cfg["loss"]["density_sparsity_schedule"] = {
+            "mode": os.environ["REN_DIAG_SREG_MODE"],
+            "decay_steps": float(
+                os.environ.get("REN_DIAG_SREG_STEPS", 2000)
+            ),
+            "decay_rate": float(os.environ.get("REN_DIAG_SREG_RATE", 0.1)),
+            "floor": float(os.environ.get("REN_DIAG_SREG_FLOOR", 0.0)),
+            "occ_frac_lo": float(os.environ.get("REN_DIAG_SREG_LO", 0.02)),
+            "occ_frac_hi": float(os.environ.get("REN_DIAG_SREG_HI", 0.10)),
+        }
     cfg["trainer"]["logger"] = False
     cfg["trainer"]["checkpoint_callback"] = False
 
