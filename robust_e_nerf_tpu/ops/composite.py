@@ -89,6 +89,9 @@ def composite(
     accumulate="cumsum",       # "cumsum" | "scatter" (A/B oracle path)
 ):
     """Returns (colors (B, C), opacities (B,), depths (B,), n_visible ())."""
+    import os
+
+    accumulate = os.environ.get("REN_COMPOSITE", accumulate)
     sigma = sigma.reshape(-1)
     valid = buf["valid"]
     sigma_dt = sigma * buf["delta"] * valid.astype(sigma.dtype)

@@ -33,7 +33,8 @@ from jax.custom_derivatives import linear_call
 _PRIMES = (1, 2654435761, 805459861)
 
 
-def _gather_rows(table, flat_idx, total_entries, n_features):
+def _gather_rows(table, flat_idx, total_entries, n_features,
+                 read_dtype=None):
     """`table[flat_idx]` with a transpose built from per-feature 1-D
     scatter-adds.
 
@@ -43,9 +44,17 @@ def _gather_rows(table, flat_idx, total_entries, n_features):
     backward's shapes, scripts/bench_hash_transpose2.py).  `linear_call`
     keeps both forward-mode (the l_grad jvp) and reverse-mode AD intact:
     the jvp of a gather is the same gather on the tangent table.
+
+    `read_dtype` (e.g. jnp.bfloat16) casts the table before the gather
+    and casts the gathered rows back, halving the forward's random-read
+    traffic; the output, cotangents and the gradient scatter stay in the
+    table's dtype (f32 accumulation).  This is an opt-in deviation from
+    the reference's forced-fp32 tcnn encoding (external/ngp.py:166-170).
     """
 
     def gather_fn(idx, tab):
+        if read_dtype is not None and tab.dtype != read_dtype:
+            return tab.astype(read_dtype)[idx].astype(tab.dtype)
         return tab[idx]
 
     def gather_transpose(idx, ct):  # ct: idx.shape + (F,)
@@ -79,6 +88,10 @@ class HashGridMeta:
     offsets: Tuple[int, ...]
     hashed: Tuple[bool, ...]
     total_entries: int
+    # opt-in: cast table reads to this dtype on the encode forward
+    # (gradient accumulation stays in the table dtype); "float32" =
+    # reference-exact (tcnn forced-fp32, external/ngp.py:166-170)
+    table_read_dtype: str = "float32"
 
     @property
     def output_dim(self):
@@ -139,6 +152,7 @@ def build_meta(pos_encoding_config, num_dim=3) -> HashGridMeta:
         offsets=tuple(offsets),
         hashed=tuple(hashed),
         total_entries=offset,
+        table_read_dtype=str(cfg.get("table_read_dtype", "float32")),
     )
 
 
@@ -151,6 +165,12 @@ def init_table(key, meta: HashGridMeta, dtype=jnp.float32):
         maxval=1e-4,
         dtype=dtype,
     )
+
+
+def _resolve_read_dtype(meta):
+    if meta.table_read_dtype in (None, "float32"):
+        return None
+    return jnp.dtype(meta.table_read_dtype)
 
 
 def _corner_offsets(num_dim):
@@ -323,6 +343,7 @@ def encode(table, x, meta: HashGridMeta):
             feats = _gather_rows(
                 table, (offset + idx).astype(jnp.int32),
                 meta.total_entries, meta.n_features_per_level,
+                read_dtype=_resolve_read_dtype(meta),
             )
         else:
             if interpolation == "Smoothstep":
@@ -332,6 +353,7 @@ def encode(table, x, meta: HashGridMeta):
             gathered = _gather_rows(
                 table, (offset + idx).astype(jnp.int32),
                 meta.total_entries, meta.n_features_per_level,
+                read_dtype=_resolve_read_dtype(meta),
             )  # (N, C, F)
             corner_f = corners.astype(x.dtype)  # (C, D)
             weights = jnp.prod(
@@ -461,6 +483,7 @@ def encode_batched(table, x, meta: HashGridMeta):
     gathered = _gather_rows(
         table, flat_idx.reshape(n, num_levels * num_corners),
         meta.total_entries, meta.n_features_per_level,
+        read_dtype=_resolve_read_dtype(meta),
     )
     gathered = gathered.reshape(
         n, num_levels, num_corners, meta.n_features_per_level

@@ -59,6 +59,10 @@ def main():
     cfg["data"]["train_eff_ray_sample_batch_size"] = 1 << budget_log2
     cfg["data"]["train_ray_batch_capacity"] = 8192
     cfg["model"]["nerf"]["arch"] = arch
+    if os.environ.get("REN_PROF_BF16"):
+        cfg["model"]["nerf"]["ngp"]["pos_encoding"]["table_read_dtype"] = (
+            "bfloat16"
+        )
     cfg["trainer"]["logger"] = False
     cfg["trainer"]["checkpoint_callback"] = False
 

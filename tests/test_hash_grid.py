@@ -203,3 +203,42 @@ def test_packed_dense_levels_bit_exact_with_per_corner(rng):
         want.append(np.einsum("nc,ncf->nf", weights, rows))
     want = np.concatenate(want, axis=-1)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-7)
+
+
+def test_table_read_dtype_bf16():
+    """Opt-in bf16 table reads: encode matches the f32 path to bf16
+    tolerance, and the table gradient stays f32 (f32 scatter
+    accumulation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robust_e_nerf_tpu.ops import hash_grid as hg
+
+    base_cfg = {
+        "otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+        "log2_hashmap_size": 10, "base_resolution": 4,
+        "per_level_scale": 1.5,
+    }
+    meta32 = hg.build_meta(base_cfg)
+    meta16 = hg.build_meta({**base_cfg, "table_read_dtype": "bfloat16"})
+    table = hg.init_table(jax.random.PRNGKey(0), meta32) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+
+    f32 = hg.encode(table, x, meta32)
+    f16 = hg.encode(table, x, meta16)
+    assert f16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(f32), np.asarray(f16),
+                               rtol=2e-2, atol=2e-2)
+
+    g = jax.grad(lambda t: jnp.sum(jnp.sin(hg.encode(t, x, meta16))))(
+        table
+    )
+    assert g.dtype == jnp.float32
+    g32 = jax.grad(lambda t: jnp.sum(jnp.sin(hg.encode(t, x, meta32))))(
+        table
+    )
+    # gradients agree to bf16 forward tolerance
+    denom = np.maximum(np.abs(np.asarray(g32)), 1e-2)
+    rel = np.abs(np.asarray(g) - np.asarray(g32)) / denom
+    assert float(np.median(rel)) < 0.05
