@@ -1,6 +1,6 @@
 """Robust e-NeRF, TPU-native.
 
-A from-scratch JAX / XLA / Pallas implementation of the capabilities of the
+A from-scratch JAX / XLA implementation of the capabilities of the
 reference CUDA/PyTorch implementation of "Robust e-NeRF: NeRF from Sparse &
 Noisy Events under Non-Uniform Motion" (ICCV 2023).
 
@@ -11,7 +11,9 @@ Design stance (TPU-first, not a port):
     dense matmul on the MXU.
   * The reference's CUDA dependencies (nerfacc occupancy grid / ray marching /
     compositing, tiny-cuda-nn hash grid) are re-designed as pure XLA programs
-    plus Pallas TPU kernels; there is no translation of CUDA kernels.
+    with custom gradient transposes tuned to the TPU memory system; there
+    is no translation of CUDA kernels (a Pallas marcher prototype was
+    evaluated and priced out, docs/PERFORMANCE.md).
   * Data parallelism is expressed with `jax.sharding` over a device mesh
     (collectives inserted by XLA), not NCCL.
   * Absolute times live on the host as int64 nanoseconds and reach the device

@@ -33,14 +33,14 @@ from .model import ModelSpec
 
 def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
                          pixel_pos, channel_idx, ts_hi, ts_lo, ray_valid,
-                         key, march_spec):
+                         key, march_spec, compute_distortion=False):
     """Render pixels at trajectory time(s) -> per-ray log intensity.
 
     Mirrors render_pixels (robust_e_nerf.py:849-885) + bayering (:887-890)
     + the log (:394, :432-433).  Times are two-float (hi, lo) pairs (see
     data/pipeline.py).  Returns
     (log_intensity (B,), opacity (B,), n_visible (), total_marched (),
-    is_valid (B,), sigma_reg ()).  `total_marched` counts the samples the
+    is_valid (B,), regs).  `total_marched` counts the samples the
     marcher produced BEFORE capacity clipping — when it exceeds the
     per-chip sample-buffer capacity, tail rays marched fewer samples than
     the reference would render (external/utils.py:106-129 renders every
@@ -56,9 +56,10 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
     # their count selects the march bucket (ops/ray_march.py)
     n_valid = jnp.sum(ray_valid, dtype=jnp.int32)
     (radiance, opacity, _depth, n_visible, total_marched,
-     sigma_reg) = nerf_mod.render_rays(
+     regs) = nerf_mod.render_rays(
         params["nerf"], occ_binary, buffers["aabb"], origins, directions,
         ray_valid, spec.nerf, march_spec, key=key, n_valid=n_valid,
+        compute_distortion=compute_distortion,
     )
     intensity = radiance + spec.min_modeled_intensity  # (B, C)
     if spec.has_bayer:
@@ -73,7 +74,7 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
     else:
         is_valid = jnp.ones_like(opacity, dtype=bool)
     return (log_intensity, opacity, n_visible, total_marched, is_valid,
-            sigma_reg)
+            regs)
 
 
 def _psum(x, axis_name):
@@ -115,12 +116,14 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
     renders = []  # (n_visible, opacity, is_valid) triples for diagnostics
     totals = []  # pre-clip marched-sample counts per render (per chip)
     sigma_regs = []  # mean Cauchy density sparsity per render
+    dist_regs = []  # mean per-ray distortion per render
     use_diff = loss_spec.weight_diff > 0
     use_grad = loss_spec.weight_grad > 0
     use_sparsity = loss_spec.weight_density_sparsity > 0
-    assert not use_sparsity or use_diff or use_grad, (
-        "density_sparsity regularizes the samples marched by the grad/diff"
-        " renders; enable at least one of them"
+    use_distortion = loss_spec.weight_distortion > 0
+    assert not (use_sparsity or use_distortion) or use_diff or use_grad, (
+        "density_sparsity/distortion regularize the samples marched by the"
+        " grad/diff renders; enable at least one of them"
     )
 
     # supervision timestamps (robust_e_nerf.py:322-358), as offsets from the
@@ -156,13 +159,13 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
             return render_log_intensity(
                 params, buffers, occ_binary, spec, batch["position"],
                 channel_idx, start_hi, lo, valid, keys[0],
-                spec.nerf.march_train,
+                spec.nerf.march_train, compute_distortion=use_distortion,
             )
 
         # d(logI)/dt via the lo word: t = hi + lo, so a unit tangent on lo
         # is a unit tangent on t
         (
-            (logI_g, opacity_g, nvis_g, total_g, valid_g, sreg_g), tangents
+            (logI_g, opacity_g, nvis_g, total_g, valid_g, regs_g), tangents
         ) = jax.jvp(
             logI_at, (grad_lo,), (jnp.ones_like(grad_lo),)
         )
@@ -173,20 +176,21 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
         )
         renders.append((nvis_g, opacity_g, valid_g))
         totals.append(total_g)
-        sigma_regs.append(sreg_g)
+        sigma_regs.append(regs_g["sparsity"])
+        dist_regs.append(regs_g["distortion"])
 
     if use_diff:
         (logI_s, opacity_s, nvis_s, total_s, valid_s,
-         sreg_s) = render_log_intensity(
+         regs_s) = render_log_intensity(
             params, buffers, occ_binary, spec, batch["position"],
             channel_idx, start_hi, diff_start_lo, valid, keys[1],
-            spec.nerf.march_train,
+            spec.nerf.march_train, compute_distortion=use_distortion,
         )
         (logI_e, opacity_e, nvis_e, total_e, valid_e,
-         sreg_e) = render_log_intensity(
+         regs_e) = render_log_intensity(
             params, buffers, occ_binary, spec, batch["position"],
             channel_idx, start_hi, diff_end_lo, valid, keys[2],
-            spec.nerf.march_train,
+            spec.nerf.march_train, compute_distortion=use_distortion,
         )
         pred_diff = logI_e - logI_s
         is_valid_diff = valid_s | valid_e  # robust_e_nerf.py:442-443
@@ -197,7 +201,8 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
         renders.append((nvis_s, opacity_s, valid_s))
         renders.append((nvis_e, opacity_e, valid_e))
         totals.extend((total_s, total_e))
-        sigma_regs.extend((sreg_s, sreg_e))
+        sigma_regs.extend((regs_s["sparsity"], regs_e["sparsity"]))
+        dist_regs.extend((regs_s["distortion"], regs_e["distortion"]))
 
     # parameter-normalized loss terms (robust_e_nerf.py:467-486)
     _, _, mean_ct = event_model.contrast_thresholds(
@@ -217,21 +222,30 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
         aux[f"loss/{name}"] = normalized
         total = total + weight[name] * normalized
 
+    if use_sparsity or use_distortion:
+        # opt-in extensions (LossSpec.weight_density_sparsity /
+        # weight_distortion docstrings): per-render regularizer means with
+        # an optional decay/occupancy-gate schedule (loss_metric/loss.py)
+        sched_step = jnp.int32(0) if step is None else step
+        occ_frac = jnp.mean(occ_binary.astype(jnp.float32))
     if use_sparsity:
-        # opt-in extension (LossSpec.weight_density_sparsity docstring):
-        # mean Cauchy density sparsity over the marched samples of every
-        # render this step, with an optional decay/occupancy-gate schedule
-        # (loss_metric/loss.py:density_sparsity_weight)
         reg = sum(sigma_regs) / len(sigma_regs)
         if axis_name is not None:
             reg = jax.lax.pmean(reg, axis_name)
-        lam = loss_mod.density_sparsity_weight(
-            loss_spec,
-            jnp.int32(0) if step is None else step,
-            jnp.mean(occ_binary.astype(jnp.float32)),
-        )
+        lam = loss_mod.density_sparsity_weight(loss_spec, sched_step,
+                                               occ_frac)
         aux["loss/density_sparsity"] = reg
         aux["density_sparsity_weight"] = (
+            lam if isinstance(lam, jnp.ndarray) else jnp.float32(lam)
+        )
+        total = total + lam * reg
+    if use_distortion:
+        reg = sum(dist_regs) / len(dist_regs)
+        if axis_name is not None:
+            reg = jax.lax.pmean(reg, axis_name)
+        lam = loss_mod.distortion_weight(loss_spec, sched_step, occ_frac)
+        aux["loss/distortion"] = reg
+        aux["distortion_weight"] = (
             lam if isinstance(lam, jnp.ndarray) else jnp.float32(lam)
         )
         total = total + lam * reg
@@ -531,7 +545,7 @@ def make_eval_chunk_fn(spec: ModelSpec, mesh=None):
             intrinsics_inv, pixel_pos, position, rotation
         )
         (radiance, opacity, _depth, _nvis, total,
-         _sreg) = nerf_mod.render_rays(
+         _regs) = nerf_mod.render_rays(
             params["nerf"], occ_binary, buffers["aabb"], origins,
             directions, chunk_valid, spec.nerf, spec.nerf.march_eval,
             key=None,

@@ -389,9 +389,13 @@ class Trainer:
         if self.writer is None:
             return
         self.log_scalar("train/loss", loss)
-        for name in ("log_intensity_grad", "log_intensity_diff"):
+        for name in ("log_intensity_grad", "log_intensity_diff",
+                     "density_sparsity", "distortion"):
             if f"loss/{name}" in host_aux:
                 self.log_scalar(f"train/{name}", host_aux[f"loss/{name}"])
+        for name in ("density_sparsity_weight", "distortion_weight"):
+            if name in host_aux:
+                self.log_scalar(f"train/{name}", host_aux[name])
         if not self.config["model"]["contrast_threshold"]["freeze"]:
             self.log_scalar(
                 "train/p2n_contrast_threshold_ratio",

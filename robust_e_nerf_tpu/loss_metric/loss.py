@@ -44,16 +44,31 @@ class LossSpec:
     # fog-densification race documented in docs/ROADMAP.md without
     # measurably penalizing the converged surface.
     weight_density_sparsity: float = 0.0
-    # Optional schedule for the sparsity weight (docs/ROADMAP.md round-3
+    # OPT-IN framework extension (default 0 = exact reference loss):
+    # mip-NeRF 360 distortion regularization (arXiv 2111.12077 eq. 15),
+    # lambda * mean over valid rays of
+    #   sum_ij w_i w_j |s_i - s_j| + (1/3) sum_i w_i^2 ds_i
+    # with ray-normalized sample positions s (ops/composite.py:
+    # distortion_sum).  Unlike the isotropic Cauchy sparsity above, this
+    # penalizes exactly the fog-race signature — rendering weight smeared
+    # along supervised rays — while a converged delta-like surface has
+    # near-zero distortion, so it opposes fog without opposing the fit.
+    weight_distortion: float = 0.0
+    # Optional schedule applied to BOTH opt-in regularizer weights
+    # (docs/ROADMAP.md round-3
     # item 1: strong while the surface forms, decayed/gated afterwards so
     # the asymptotic loss approaches the exact reference loss):
-    #   mode "exp": lambda(step) = max(w * rate^(step / steps), floor)
+    #   mode "exp": lambda(step) =
+    #       max(w * rate^(max(step - hold_steps, 0) / steps), floor)
+    #     — full strength for the first `hold_steps` (the surface-formation
+    #     window where the fog race lives), exponential decay after
     #   mode "occ": lambda = w * clip((occ_frac - lo) / (hi - lo), 0, 1)
     #     — a feedback gate on the occupancy grid's occupied fraction: the
     #     fog race announces itself as a fattening grid (ROADMAP round-2
     #     findings), so sparsity only engages when the grid grows past
     #     `lo` and reaches full strength at `hi`.
     sparsity_schedule_mode: Optional[str] = None  # None | "exp" | "occ"
+    sparsity_hold_steps: float = 0.0
     sparsity_decay_steps: float = 2000.0
     sparsity_decay_rate: float = 0.1
     sparsity_floor: float = 0.0
@@ -68,6 +83,7 @@ class LossSpec:
         assert self.param_weight_grad in PARAM_WEIGHT_CHOICES
         assert self.param_weight_diff in PARAM_WEIGHT_CHOICES
         assert self.weight_density_sparsity >= 0
+        assert self.weight_distortion >= 0
         assert self.sparsity_schedule_mode in (None, "exp", "occ")
         assert self.sparsity_decay_steps > 0
         assert self.sparsity_occ_frac_hi > self.sparsity_occ_frac_lo
@@ -85,7 +101,11 @@ def build_loss_spec(loss_config) -> LossSpec:
         weight_density_sparsity=float(
             loss_config["weight"].get("density_sparsity") or 0.0
         ),
+        weight_distortion=float(
+            loss_config["weight"].get("distortion") or 0.0
+        ),
         sparsity_schedule_mode=schedule.get("mode"),
+        sparsity_hold_steps=float(schedule.get("hold_steps") or 0.0),
         sparsity_decay_steps=float(schedule.get("decay_steps") or 2000.0),
         sparsity_decay_rate=float(schedule.get("decay_rate") or 0.1),
         sparsity_floor=float(schedule.get("floor") or 0.0),
@@ -94,22 +114,38 @@ def build_loss_spec(loss_config) -> LossSpec:
     )
 
 
-def density_sparsity_weight(spec: LossSpec, step, occ_frac):
-    """Effective density-sparsity weight lambda for this step (device
-    scalar).  `step` is the optimizer step, `occ_frac` the occupancy
-    grid's occupied fraction."""
-    base = spec.weight_density_sparsity
+def _scheduled_weight(spec: LossSpec, base, step, occ_frac):
+    """Apply the (shared) regularizer schedule to a base weight."""
     mode = spec.sparsity_schedule_mode
     if mode is None:
         return base
     if mode == "exp":
+        decay_pos = jnp.maximum(
+            step.astype(jnp.float32) - spec.sparsity_hold_steps, 0.0
+        )
         lam = base * spec.sparsity_decay_rate ** (
-            step.astype(jnp.float32) / spec.sparsity_decay_steps
+            decay_pos / spec.sparsity_decay_steps
         )
         return jnp.maximum(lam, spec.sparsity_floor)
     lo, hi = spec.sparsity_occ_frac_lo, spec.sparsity_occ_frac_hi
     gate = jnp.clip((occ_frac - lo) / (hi - lo), 0.0, 1.0)
     return base * gate
+
+
+def density_sparsity_weight(spec: LossSpec, step, occ_frac):
+    """Effective density-sparsity weight lambda for this step (device
+    scalar).  `step` is the optimizer step, `occ_frac` the occupancy
+    grid's occupied fraction."""
+    return _scheduled_weight(
+        spec, spec.weight_density_sparsity, step, occ_frac
+    )
+
+
+def distortion_weight(spec: LossSpec, step, occ_frac):
+    """Effective distortion weight lambda for this step (device scalar);
+    shares the sparsity schedule — both are surface-formation stabilizers
+    with the same lifecycle."""
+    return _scheduled_weight(spec, spec.weight_distortion, step, occ_frac)
 
 
 def masked_mean(values, mask, axis_name=None):

@@ -171,16 +171,20 @@ def render_rays(
     march_spec: ray_march.MarchSpec,
     key=None,       # stratified jitter (training)
     n_valid=None,   # () int: live-ray count -> bucketed marching
+    compute_distortion=False,
 ):
     """Occupancy-accelerated volume rendering of a batch of rays.
 
     Returns (radiance (B, C), opacity (B,), depth (B,), n_visible (),
-    total_marched (), sigma_reg ()).  `depth` is the expected termination
+    total_marched (), regs).  `depth` is the expected termination
     distance along the ray normalized by opacity (models/nerf.py:267-285);
     the caller converts it to z-depth via the principal-axis cosine.
-    `sigma_reg` is the mean Cauchy sparsity log(1 + 2 sigma^2) over the
-    valid marched samples (zero-cost unless the optional density-sparsity
-    loss term consumes it, loss_metric/loss.py).
+    `regs` holds the opt-in regularizer statistics (loss_metric/loss.py):
+    `regs["sparsity"]` is the mean Cauchy sparsity log(1 + 2 sigma^2) over
+    the valid marched samples (zero-cost unless consumed);
+    `regs["distortion"]` is the mean per-ray mip-NeRF-360 distortion
+    (ops/composite.py:distortion_sum) over the valid rays, computed only
+    when `compute_distortion` (two extra K-row cumsums when on).
     """
     num_rays = origins.shape[0]
     buf = ray_march.march_and_compact(
@@ -201,20 +205,30 @@ def render_rays(
         nerf_params["radiance_field"], positions, dirs
     )
     bkgd = get_render_bkgd(nerf_params, spec)
-    colors, opacity, depth, n_visible = composite_mod.composite(
+    outs = composite_mod.composite(
         sigma, radiance, buf, num_rays,
         render_bkgd=bkgd,
         early_stop_eps=spec.early_stop_eps,
         alpha_thre=spec.alpha_thre,
         max_samples_per_ray=march_spec.max_samples_per_ray,
+        compute_distortion=compute_distortion,
     )
+    colors, opacity, depth, n_visible = outs[:4]
     depth = depth / (opacity + spec.opacity_eps)
     sigma_flat = sigma.reshape(-1)
     valid_f = buf["valid"].astype(sigma_flat.dtype)
     sigma_reg = jnp.sum(
         valid_f * jnp.log1p(2.0 * sigma_flat * sigma_flat)
     ) / jnp.maximum(jnp.sum(valid_f), 1.0)
-    return colors, opacity, depth, n_visible, buf["total"], sigma_reg
+    regs = {"sparsity": sigma_reg}
+    if compute_distortion:
+        n_valid_rays = jnp.maximum(
+            jnp.sum(ray_valid, dtype=sigma_flat.dtype), 1.0
+        )
+        regs["distortion"] = outs[4] / n_valid_rays
+    else:
+        regs["distortion"] = jnp.zeros((), sigma_flat.dtype)
+    return colors, opacity, depth, n_visible, buf["total"], regs
 
 
 def ray_distance_to_z_depth(depth, ray_direction, t_wc_orientation):

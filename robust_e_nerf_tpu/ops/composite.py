@@ -77,6 +77,50 @@ def _segment_sums(payload, ray_first, counts, block):
     return jnp.where((stop > start)[:, None], acc, 0.0)
 
 
+def distortion_sum(weights, buf, valid):
+    """Sum over valid samples of the mip-NeRF 360 distortion integrand
+    (eq. 15 in arXiv 2111.12077), with ray-normalized sample positions
+    s_i = (t_mid_i - t_first) / (t_last - t_first):
+
+        L_r = sum_ij w_i w_j |s_i - s_j| + (1/3) sum_i w_i^2 ds_i
+
+    computed in O(K) via the same ray-major global-cumsum + ray-first
+    offset trick as the transmittance above: with samples ascending in s,
+    sum_ij w_i w_j |s_i - s_j| = 2 sum_i w_i (s_i W_<i - S_<i) where
+    W_<i / S_<i are the within-ray exclusive prefixes of w and w*s.
+    Returns the SUM over all rays (caller normalizes by its valid-ray
+    count).  Rays with < 2 samples contribute zero (their span is
+    degenerate).  This backs the opt-in `loss.weight.distortion`
+    regularizer (loss_metric/loss.py) — an anti-"floater"/fog term the
+    reference does not have.
+    """
+    num_rows = weights.shape[0]
+    rf = jnp.clip(buf["ray_first"], 0, num_rows - 1)
+    counts = buf["counts"]
+    last = jnp.clip(buf["ray_first"] + counts - 1, 0, num_rows - 1)
+    t_mid = buf["t_mid"]
+    # per-ray span; rays with < 2 samples get an infinite span so both
+    # their s and ds collapse to zero (no distortion defined on a point)
+    span = jnp.where(
+        counts > 1,
+        jnp.maximum(t_mid[last] - t_mid[rf], 1e-12),
+        jnp.inf,
+    )
+    ray_idx = buf["ray_idx"]
+    s = (t_mid - t_mid[rf][ray_idx]) / span[ray_idx]
+    ds = buf["delta"] / span[ray_idx]
+    ws = weights * s
+    ew = jnp.cumsum(weights) - weights       # global exclusive prefix
+    ews = jnp.cumsum(ws) - ws
+    w_pref = ew - ew[rf][ray_idx]            # within-ray exclusive sum(w)
+    ws_pref = ews - ews[rf][ray_idx]         # within-ray exclusive sum(w*s)
+    per_sample = (
+        2.0 * weights * (s * w_pref - ws_pref)
+        + (weights * weights) * ds / 3.0
+    )
+    return jnp.sum(jnp.where(valid, per_sample, 0.0))
+
+
 def composite(
     sigma,            # (K,) or (K, 1) densities
     radiance,         # (K, C) post-activation radiance
@@ -87,8 +131,10 @@ def composite(
     alpha_thre=0.0,
     max_samples_per_ray=1024,  # bounds a ray's buffer-segment length
     accumulate="cumsum",       # "cumsum" | "scatter" (A/B oracle path)
+    compute_distortion=False,  # append distortion_sum to the outputs
 ):
-    """Returns (colors (B, C), opacities (B,), depths (B,), n_visible ())."""
+    """Returns (colors (B, C), opacities (B,), depths (B,), n_visible ())
+    plus, when `compute_distortion`, the scalar `distortion_sum`."""
     import os
 
     accumulate = os.environ.get("REN_COMPOSITE", accumulate)
@@ -154,4 +200,7 @@ def composite(
         & ((alpha >= alpha_thre) if alpha_thre > 0.0 else True),
         dtype=jnp.int32,
     )
+    if compute_distortion:
+        dist = distortion_sum(weights, buf, valid)
+        return colors, opacities, depths, n_visible, dist
     return colors, opacities, depths, n_visible

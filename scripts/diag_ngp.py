@@ -52,12 +52,17 @@ def main():
         cfg["loss"]["weight"]["density_sparsity"] = float(
             os.environ["REN_DIAG_SREG"]
         )
+    if "REN_DIAG_DIST" in os.environ:
+        cfg["loss"]["weight"]["distortion"] = float(
+            os.environ["REN_DIAG_DIST"]
+        )
     if "REN_DIAG_SREG_MODE" in os.environ:
         # schedule experiments (ROADMAP round-3 item 1):
         #   exp: REN_DIAG_SREG_STEPS / REN_DIAG_SREG_RATE / REN_DIAG_SREG_FLOOR
         #   occ: REN_DIAG_SREG_LO / REN_DIAG_SREG_HI
         cfg["loss"]["density_sparsity_schedule"] = {
             "mode": os.environ["REN_DIAG_SREG_MODE"],
+            "hold_steps": float(os.environ.get("REN_DIAG_SREG_HOLD", 0)),
             "decay_steps": float(
                 os.environ.get("REN_DIAG_SREG_STEPS", 2000)
             ),
@@ -119,13 +124,22 @@ def main():
         if i % 16 == 0 or i in (255, 257, 259, 263):
             params, _opt, ctrl = state[0], state[1], state[2]
             loss, aux = state[3], state[4]
-            host = jax.device_get({
+            fetch = {
                 "loss": loss,
                 "batch": aux["batch_size"],
                 "spr": aux["mean_num_samples_per_ray"],
                 "stats": stats(params, trainer.occ_state),
-            })
+            }
+            for reg in ("distortion", "density_sparsity"):
+                if f"loss/{reg}" in aux:
+                    fetch[reg] = aux[f"loss/{reg}"]
+            host = jax.device_get(fetch)
             s = host["stats"]
+            extra = "".join(
+                f" {reg[:4]} {float(host[reg]):.2e}"
+                for reg in ("distortion", "density_sparsity")
+                if reg in host
+            )
             print(
                 f"step {i:4d} loss {float(host['loss']):8.4f} "
                 f"batch {int(host['batch']):5d} spr {float(host['spr']):6.1f} "
@@ -133,7 +147,7 @@ def main():
                 f"{float(s['occs_mean']):.2e}/{float(s['occs_max']):.2e} "
                 f"sigma@occ(mean/max) {float(s['sigma_occ_mean']):.2e}/"
                 f"{float(s['sigma_occ_max']):.2e} "
-                f"sigma_max {float(s['sigma_max']):.2e}",
+                f"sigma_max {float(s['sigma_max']):.2e}" + extra,
                 flush=True,
             )
         state = state[:3]

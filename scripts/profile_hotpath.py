@@ -126,7 +126,7 @@ def main():
     t_render = timeit(render_j, nerf_params, origins, dirs, valid, occ)
 
     def render_loss(p, o, d, v, g):
-        radiance, opacity, _d, _nv, _t, _sreg = render(p, o, d, v, g)
+        radiance, opacity, _d, _nv, _t, _regs = render(p, o, d, v, g)
         return jnp.sum(jnp.where(v[:, None], radiance, 0.0)) + jnp.sum(
             jnp.where(v, opacity, 0.0))
 

@@ -513,3 +513,30 @@ def test_pose_batched_eval_matches_per_image(trained):
         )
         np.testing.assert_allclose(batched[i], single, rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_distortion_loss_end_to_end(dataset, tmp_path_factory):
+    """A training step with the opt-in distortion regularizer enabled
+    (loss.weight.distortion > 0) produces a finite loss/distortion aux
+    scalar and a finite total loss, including through the jvp grad-loss
+    path (the regularizer is computed inside the render that jax.jvp
+    traverses)."""
+    tmp = tmp_path_factory.mktemp("engine_distortion")
+    cfg = tiny_config(
+        dataset, tmp,
+        **{"trainer.limit_train_batches": 1,
+           "loss.weight.log_intensity_grad": 1.0},
+    )
+    cfg.loss.weight["distortion"] = 0.001
+    cfg.loss.weight["density_sparsity"] = 0.001
+    trainer = Trainer(cfg, logging_enabled=False)
+    out = trainer.train_step(
+        trainer.params, trainer.opt_state, trainer.ctrl, trainer.buffers,
+        trainer.device_table, trainer.occ_state["binary"], trainer._key,
+    )
+    loss = float(jax.device_get(out[3]))
+    aux = jax.device_get(out[4])
+    assert np.isfinite(loss)
+    assert np.isfinite(float(aux["loss/distortion"]))
+    assert float(aux["loss/distortion"]) >= 0.0
+    assert float(aux["distortion_weight"]) == pytest.approx(0.001)

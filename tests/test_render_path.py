@@ -334,9 +334,10 @@ def test_render_rays_sigma_reg_is_mean_cauchy():
                              jnp.float32)
     occ = jnp.ones(occ_spec.num_cells, bool)
     valid = jnp.asarray([True, True])
-    *_, sigma_reg = nerf_mod.render_rays(
+    *_, regs = nerf_mod.render_rays(
         params, occ, aabb, origins, directions, valid, spec, march_spec,
     )
+    sigma_reg = regs["sparsity"]
     # oracle: recompute from the marched buffer + field densities
     buf = ray_march.march_and_compact(
         origins, directions, valid, occ, aabb, occ_spec, march_spec,
@@ -451,3 +452,115 @@ def test_composite_cumsum_block_boundary_precision():
         np.testing.assert_allclose(
             float(opacity[r]), float(np.sum(w)), rtol=2e-4, atol=2e-5
         )
+
+
+def test_distortion_sum_matches_bruteforce():
+    """ops/composite.py:distortion_sum's O(K) cumsum formulation must match
+    the O(K^2) mip-NeRF 360 double sum (arXiv 2111.12077 eq. 15) on a
+    randomized ray-major buffer with ascending per-ray t_mid (the marching
+    order the compositor guarantees), including empty and 1-sample rays
+    (which contribute zero — degenerate span)."""
+    rng = np.random.default_rng(11)
+    num_rays, capacity = 23, 1 << 12
+    counts = rng.integers(0, 220, size=num_rays).astype(np.int64)
+    counts[2] = 0   # empty ray
+    counts[5] = 1   # single-sample ray: no distortion defined
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    total = int(ends[-1])
+    assert total <= capacity
+    slot = np.arange(capacity)
+    ray_idx = np.minimum(
+        np.searchsorted(ends, slot, side="right"), num_rays - 1
+    )
+    valid = slot < total
+    # ascending t within each ray (marching order)
+    t_mid = np.zeros(capacity, np.float32)
+    delta = rng.uniform(0.002, 0.02, capacity).astype(np.float32)
+    for r in range(num_rays):
+        seg = slice(starts[r], ends[r])
+        t_mid[seg] = np.sort(
+            rng.uniform(0.5, 4.0, int(counts[r]))
+        ).astype(np.float32)
+    weights = rng.uniform(0.0, 0.05, capacity).astype(np.float32)
+    weights[~valid] = 0.0
+    delta[~valid] = 0.0
+    buf = {
+        "ray_idx": jnp.asarray(ray_idx.astype(np.int32)),
+        "t_mid": jnp.asarray(t_mid),
+        "delta": jnp.asarray(delta),
+        "valid": jnp.asarray(valid),
+        "ray_first": jnp.asarray(starts.astype(np.int32)),
+        "counts": jnp.asarray(counts.astype(np.int32)),
+        "total": jnp.int32(total),
+    }
+    got = float(comp.distortion_sum(
+        jnp.asarray(weights), buf, jnp.asarray(valid)
+    ))
+    # float64 brute-force oracle
+    want = 0.0
+    for r in range(num_rays):
+        n = int(counts[r])
+        if n < 2:
+            continue
+        seg = slice(starts[r], ends[r])
+        w = weights[seg].astype(np.float64)
+        t = t_mid[seg].astype(np.float64)
+        span = max(t[-1] - t[0], 1e-12)
+        s = (t - t[0]) / span
+        ds = delta[seg].astype(np.float64) / span
+        want += float(
+            np.sum(w[:, None] * w[None, :] * np.abs(s[:, None] - s[None, :]))
+            + np.sum(w * w * ds) / 3.0
+        )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-7)
+
+
+def test_render_rays_distortion_flag():
+    """render_rays with compute_distortion=True returns a finite
+    non-negative per-valid-ray mean distortion; with the flag off the
+    regs entry is exactly zero (no extra cumsum cost)."""
+    from robust_e_nerf_tpu.models import fields, nerf as nerf_mod
+
+    occ_spec = make_occ_spec()
+    field_spec = fields.build_field_spec("mlp", {
+        "net_depth": 1, "net_width": 8, "skip_layer": 4,
+        "net_depth_condition": 1, "net_width_condition": 8,
+        "hidden_activation": "softplus",
+        "density_activation": "shifted_trunc_exp",
+        "radiance_activation": "softplus",
+        "pos_encoder_max_deg": 2, "view_encoder_max_deg": 1,
+        "weight_norm": False,
+    }, "aabb", 1, 3)
+    march_spec = ray_march.MarchSpec(
+        contraction_type=contraction.AABB, render_step_size=0.05,
+        near_plane=None, far_plane=None, cone_angle=0.0,
+        max_samples_per_ray=128, capacity=512,
+    )
+    spec = nerf_mod.NerfSpec(
+        field=field_spec, occ=occ_spec, march_train=march_spec,
+        march_eval=march_spec, render_step_size=0.05, near_plane=None,
+        far_plane=None, cone_angle=0.0, early_stop_eps=1e-4,
+        alpha_thre=0.0, test_chunk_size=512, render_bkgd=None,
+        radiance_dim=1,
+    )
+    params = {"radiance_field": fields.init_field(
+        jax.random.PRNGKey(0), field_spec
+    )}
+    aabb = jnp.asarray([-1, -1, -1, 1, 1, 1], jnp.float32)
+    origins = jnp.asarray([[-2.0, 0.0, 0.0], [0.0, -2.0, 0.0]],
+                          jnp.float32)
+    directions = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                             jnp.float32)
+    occ = jnp.ones(occ_spec.num_cells, bool)
+    valid = jnp.asarray([True, True])
+    *_, regs_on = nerf_mod.render_rays(
+        params, occ, aabb, origins, directions, valid, spec, march_spec,
+        compute_distortion=True,
+    )
+    *_, regs_off = nerf_mod.render_rays(
+        params, occ, aabb, origins, directions, valid, spec, march_spec,
+    )
+    d = float(regs_on["distortion"])
+    assert np.isfinite(d) and d >= 0.0
+    assert float(regs_off["distortion"]) == 0.0

@@ -164,3 +164,32 @@ def test_build_loss_spec_parses_schedule():
     del cfg["density_sparsity_schedule"]
     spec = loss_mod.build_loss_spec(cfg)
     assert spec.sparsity_schedule_mode is None
+
+
+def test_distortion_weight_shares_schedule_with_hold():
+    """weight_distortion rides the same schedule as density_sparsity,
+    including the hold_steps window (full strength until the hold ends,
+    then exponential decay)."""
+    import jax.numpy as jnp
+
+    from robust_e_nerf_tpu.loss_metric import loss as loss_mod
+
+    spec = loss_mod.LossSpec(
+        weight_grad=0.0, weight_diff=1.0, error_fn_grad="mape",
+        error_fn_diff="mse", param_weight_grad=None,
+        param_weight_diff=None, weight_density_sparsity=0.01,
+        weight_distortion=0.002, sparsity_schedule_mode="exp",
+        sparsity_hold_steps=1000.0, sparsity_decay_steps=500.0,
+        sparsity_decay_rate=0.1, sparsity_floor=0.0,
+    )
+    # full strength through the hold window
+    assert abs(float(loss_mod.distortion_weight(
+        spec, jnp.int32(0), jnp.float32(0.0))) - 0.002) < 1e-9
+    assert abs(float(loss_mod.distortion_weight(
+        spec, jnp.int32(1000), jnp.float32(0.0))) - 0.002) < 1e-9
+    # one decay period past the hold -> x0.1
+    assert abs(float(loss_mod.distortion_weight(
+        spec, jnp.int32(1500), jnp.float32(0.0))) - 0.0002) < 1e-9
+    # sparsity weight follows the same shifted schedule
+    assert abs(float(loss_mod.density_sparsity_weight(
+        spec, jnp.int32(1500), jnp.float32(0.0))) - 0.001) < 1e-8
