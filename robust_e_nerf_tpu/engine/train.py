@@ -336,7 +336,8 @@ def sample_device_batch(event_table, key, local_capacity, has_bayer):
 
 
 def make_train_step(spec: ModelSpec, optimizer, mesh,
-                    sample_budget, init_batch_size, accum_steps=1):
+                    sample_budget, init_batch_size, accum_steps=1,
+                    frozen_components=()):
     """Build the jitted train step.
 
     Everything — event sampling, loss, gradients, the optimizer update, the
@@ -362,6 +363,15 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
     optimizer step in ctrl["nonfinite_step"]; the host raises at its next
     fetch.  Unlike a per-step host sync (30+ ms over a high-latency link),
     this costs nothing and still guarantees zero poisoned optimizer steps.
+
+    `frozen_components` (names from the model.*.freeze config flags) get
+    `stop_gradient` applied before the loss, the counterpart of the
+    reference's `requires_grad_(False)` freeze (robust_e_nerf.py:265-292):
+    beyond matching semantics, this prunes the dead backward chains so XLA
+    never builds them — with `refractory_period` frozen (every bench/test
+    config) the whole time->pose->sample-position cotangent path vanishes,
+    including the hash-grid backward's recompute corner gathers that exist
+    only to form d(features)/d(position).
     """
     from jax import shard_map
 
@@ -388,6 +398,12 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
             batch["valid"] = (
                 jnp.arange(local_capacity, dtype=jnp.int32) < local_count
             )
+            if frozen_components:
+                params = {
+                    name: (jax.lax.stop_gradient(comp)
+                           if name in frozen_components else comp)
+                    for name, comp in params.items()
+                }
             return train_loss_fn(
                 params, buffers, occ_binary, batch, k_loss, spec,
                 axis_name=DATA_AXIS, step=step,

@@ -223,6 +223,11 @@ class Trainer:
             spec, self.optimizer, self.mesh,
             self.sample_budget, self.init_batch_size,
             accum_steps=self.accumulate_grad_batches,
+            frozen_components=tuple(
+                name for name in
+                ("contrast_threshold", "refractory_period", "nerf")
+                if bool(config["model"][name]["freeze"])
+            ),
         )
         self.ctrl = train_mod.init_controller_state(self.init_batch_size)
         self.ctrl = mesh_mod.put_replicated(self.ctrl, self.mesh)

@@ -160,6 +160,41 @@ def test_frozen_components_stay_fixed(trained):
     )
 
 
+def test_structural_freeze_matches_masked_grads(trained):
+    """Frozen components are stop_gradient-pruned from the backward graph
+    (the counterpart of the reference's requires_grad_(False) freeze,
+    robust_e_nerf.py:265-292).  The resulting optimizer step must be
+    equivalent to the mask-only path (gradients computed, then zeroed by
+    the frozen optax group): same updated params for every component."""
+    from robust_e_nerf_tpu.engine import train as train_mod
+
+    t = trained
+    common = dict(
+        sample_budget=t.sample_budget, init_batch_size=t.init_batch_size,
+        accum_steps=t.accumulate_grad_batches,
+    )
+    step_masked = train_mod.make_train_step(
+        t.spec, t.optimizer, t.mesh, frozen_components=(), **common
+    )
+    step_pruned = train_mod.make_train_step(
+        t.spec, t.optimizer, t.mesh,
+        frozen_components=("contrast_threshold", "refractory_period"),
+        **common,
+    )
+    args = (t.params, t.opt_state, t.ctrl, t.buffers, t.device_table,
+            t.occ_state["binary"], t._key)
+    params_masked = jax.device_get(step_masked(*args)[0])
+    params_pruned = jax.device_get(step_pruned(*args)[0])
+    flat_m = jax.tree_util.tree_leaves_with_path(params_masked)
+    flat_p = jax.tree_util.tree_leaves(params_pruned)
+    assert len(flat_m) == len(flat_p)
+    for (path, leaf_m), leaf_p in zip(flat_m, flat_p):
+        np.testing.assert_allclose(
+            leaf_m, leaf_p, rtol=1e-5, atol=1e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
 def test_multichip_mesh(dataset, tmp_path_factory):
     """Same training step on all 8 virtual CPU devices."""
     assert len(jax.devices()) == 8
