@@ -56,6 +56,11 @@ def main():
         cfg["loss"]["weight"]["distortion"] = float(
             os.environ["REN_DIAG_DIST"]
         )
+    if "REN_DIAG_MILESTONES" in os.environ:
+        # lr-decay experiments: epochs are limit_train_batches (=1000) steps
+        cfg["lr_scheduler"]["multi_step_lr"]["milestones"] = [
+            int(m) for m in os.environ["REN_DIAG_MILESTONES"].split(",")
+        ]
     if "REN_DIAG_SREG_MODE" in os.environ:
         # schedule experiments (ROADMAP round-3 item 1):
         #   exp: REN_DIAG_SREG_STEPS / REN_DIAG_SREG_RATE / REN_DIAG_SREG_FLOOR
