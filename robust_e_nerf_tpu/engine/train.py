@@ -273,6 +273,17 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
     aux["sample_overflow"] = _psum(
         sum(jnp.maximum(t - capacity, 0) for t in totals), axis_name
     )
+    # Worst-render marched rate, for the controller's capacity clamp: the
+    # buffer fills with *marched* samples while the reference-style
+    # retarget counts only *visible* ones (n_rendering_samples,
+    # external/utils.py:130), and once surfaces sharpen (visible <<
+    # marched) budget/visible overshoots the static buffer ~10x; the
+    # resulting truncation feeds garbage renders back into the loss and the
+    # run traps itself — every r2/r3 "collapse" log (docs/diagnostics/)
+    # pins at batch==capacity with spr ~5-25.  Totals are pre-clip, so the
+    # rate stays truthful even while overflowing and the clamp can recover.
+    marched_worst = jnp.max(jnp.stack(totals)).astype(jnp.float32)
+    aux["mean_marched_per_ray"] = _psum(marched_worst, axis_name) / n_valid
     aux["loss/total"] = total
     aux["mean_num_samples_per_ray"] = mean_samples
     aux["mean_ray_occ_rate"] = occ_rate
@@ -494,12 +505,31 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
             poisoned, ctrl["nonfinite_step"],
             jnp.where(finite, jnp.int32(-1), ctrl["step"]),
         )
-        # dynamic batch-size controller (robust_e_nerf.py:940-948)
+        # dynamic batch-size controller (robust_e_nerf.py:940-948), plus a
+        # static-buffer clamp: keep the predicted marched samples of the
+        # next batch inside the per-render sample buffer (0.92 margin for
+        # stochastic marching + per-chip imbalance).  The reference needs
+        # no such clamp — its sample buffers are dynamically sized CUDA
+        # tensors — so this is the one deliberate controller deviation of
+        # the fixed-shape design; it binds only when visible samples/ray
+        # is far below marched samples/ray (sharp surfaces + loose
+        # occupancy), exactly the regime where the unclamped retarget
+        # used to overflow the buffer and corrupt the loss.
         mean_samples = aux["mean_num_samples_per_ray"]
+        marched_pr = aux["mean_marched_per_ray"]
+        sample_capacity = spec.nerf.march_train.capacity * num_chips
+        batch_cap = jnp.maximum(
+            (0.92 * sample_capacity / jnp.maximum(marched_pr, 1e-6))
+            .astype(jnp.int32),
+            1,
+        )
         new_batch_size = jnp.where(
             (mean_samples > 0) & apply,
-            (local_budget * num_chips / jnp.maximum(mean_samples, 1e-6))
-            .astype(jnp.int32),
+            jnp.minimum(
+                (local_budget * num_chips
+                 / jnp.maximum(mean_samples, 1e-6)).astype(jnp.int32),
+                batch_cap,
+            ),
             ctrl["batch_size"],
         )
         ctrl = {
