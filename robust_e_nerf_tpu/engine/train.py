@@ -20,6 +20,9 @@ pure functions of (params, buffers, occupancy, batch, key):
 
 from __future__ import annotations
 
+import dataclasses
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -75,6 +78,17 @@ def render_log_intensity(params, buffers, occ_binary, spec: ModelSpec,
         is_valid = jnp.ones_like(opacity, dtype=bool)
     return (log_intensity, opacity, n_visible, total_marched, is_valid,
             regs)
+
+
+def _fuse_diff_enabled():
+    """Opt-in (REN_FUSE_DIFF=1) fused interval-endpoint render.
+
+    Default off: the double-capacity fused buffer doubles the peak padded
+    HLO temps — narrow (K, 1)/(K, 3) f32 per-sample arrays tile-pad up to
+    128x on TPU — and at the reference 2^20 budget the fused graph needs
+    ~50 G HBM (measured OOM; 2 x 1.31M-row renders fit at ~8 G each
+    sequentially).  Safe and profitable at <= 2^18 budgets."""
+    return os.environ.get("REN_FUSE_DIFF", "0") == "1"
 
 
 def _psum(x, axis_name):
@@ -179,7 +193,58 @@ def train_loss_fn(params, buffers, occ_binary, batch, key,
         sigma_regs.append(regs_g["sparsity"])
         dist_regs.append(regs_g["distortion"])
 
-    if use_diff:
+    if use_diff and _fuse_diff_enabled():
+        # Fused interval-endpoint render: both l_diff renders (interval
+        # start + end, robust_e_nerf.py:414-443) march and evaluate as ONE
+        # 2B-ray batch in a double-capacity buffer.  Identical semantics
+        # (each endpoint keeps its own pose, jitter and visibility), but
+        # one field fwd+bwd graph instead of two: per-level table-cotangent
+        # zero/accumulate passes halve, MXU matmuls run at 2x rows, and
+        # per-render fixed costs amortize.  The fused batch keeps live rows
+        # as a PREFIX (row j < n: start of ray j; n <= j < 2n: end of ray
+        # j - n) so the marcher's ray bucketing still applies.
+        num_b = valid.shape[0]
+        n_live = jnp.sum(valid, dtype=jnp.int32)
+        j = jnp.arange(2 * num_b, dtype=jnp.int32)
+        src = jnp.clip(jnp.where(j < n_live, j, j - n_live), 0, num_b - 1)
+        use_end = j >= n_live
+        fused_valid = j < 2 * n_live
+        f_chan = None if channel_idx is None else channel_idx[src]
+        f_lo = jnp.where(use_end, diff_end_lo[src], diff_start_lo[src])
+        fused_march = dataclasses.replace(
+            spec.nerf.march_train,
+            capacity=2 * spec.nerf.march_train.capacity,
+        )
+        (logI_f, opacity_f, nvis_f, total_f, valid_f,
+         regs_f) = render_log_intensity(
+            params, buffers, occ_binary, spec, batch["position"][src],
+            f_chan, start_hi[src], f_lo, fused_valid, keys[1],
+            fused_march, compute_distortion=use_distortion,
+        )
+        i = jnp.arange(num_b, dtype=jnp.int32)
+        idx_e = jnp.clip(i + n_live, 0, 2 * num_b - 1)
+        logI_s, opacity_s, valid_s = (
+            logI_f[:num_b], opacity_f[:num_b], valid_f[:num_b]
+        )
+        logI_e, opacity_e, valid_e = (
+            logI_f[idx_e], opacity_f[idx_e], valid_f[idx_e]
+        )
+        pred_diff = logI_e - logI_s
+        is_valid_diff = valid_s | valid_e  # robust_e_nerf.py:442-443
+        losses["log_intensity_diff"] = loss_mod.log_intensity_diff_loss(
+            loss_spec, pred_diff, ts_diff, target_grad,
+            is_valid_diff & valid, axis_name,
+        )
+        # book the fused render as its two logical halves so the
+        # controller/diagnostic means match the unfused formulas
+        nvis_half = nvis_f.astype(jnp.float32) * 0.5
+        total_half = (total_f + 1) // 2
+        renders.append((nvis_half, opacity_s, valid_s))
+        renders.append((nvis_half, opacity_e, valid_e))
+        totals.extend((total_half, total_half))
+        sigma_regs.extend((regs_f["sparsity"], regs_f["sparsity"]))
+        dist_regs.extend((regs_f["distortion"], regs_f["distortion"]))
+    elif use_diff:
         (logI_s, opacity_s, nvis_s, total_s, valid_s,
          regs_s) = render_log_intensity(
             params, buffers, occ_binary, spec, batch["position"],

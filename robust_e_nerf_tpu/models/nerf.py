@@ -160,6 +160,27 @@ def pixel_params_to_ray(intrinsics_inv, pixel_position, t_wc_position,
     return t_wc_position, world_dir
 
 
+def _sample_bucket_ladder(capacity, min_bucket=8192):
+    """Static sample-buffer prefix buckets, ascending, ending at the full
+    capacity.  `REN_SAMPLE_BUCKETS` sets the level count (default 1 =
+    off: always evaluate the full buffer).
+
+    Opt-in because the TPU backward pass does NOT share HLO temp space
+    between lax.switch branches: with a 4-level ladder the 2^20-budget
+    ngp graph asked for 62.9 G HBM vs ~8 G unbucketed (measured OOM).
+    Worthwhile only for forward-only paths or small capacities until
+    branch buffers alias."""
+    import os
+
+    levels = int(os.environ.get("REN_SAMPLE_BUCKETS", 1))
+    ladder = [capacity]
+    kb = capacity
+    while len(ladder) < levels and kb % 2 == 0 and kb // 2 >= min_bucket:
+        kb //= 2
+        ladder.append(kb)
+    return sorted(ladder)
+
+
 def render_rays(
     nerf_params,
     occ_binary,
@@ -191,43 +212,91 @@ def render_rays(
         origins, directions, ray_valid, occ_binary, aabb, spec.occ,
         march_spec, key=key, n_valid=n_valid,
     )
-    positions, dirs = ray_march.sample_positions(buf, origins, directions)
-    field_fn = lambda p, x, d: fields.field_apply(  # noqa: E731
-        p, x, d, aabb, spec.field
-    )
-    if getattr(spec.field, "remat", False):
-        # rematerialize the field eval in the backward pass: megasample
-        # encode intermediates (hash-corner gathers, wide MLP activations)
-        # otherwise land in HBM as residuals and OOM at the reference
-        # 2^20 sample budget
-        field_fn = jax.checkpoint(field_fn)
-    radiance, sigma = field_fn(
-        nerf_params["radiance_field"], positions, dirs
-    )
+    capacity = march_spec.capacity
     bkgd = get_render_bkgd(nerf_params, spec)
-    outs = composite_mod.composite(
-        sigma, radiance, buf, num_rays,
-        render_bkgd=bkgd,
-        early_stop_eps=spec.early_stop_eps,
-        alpha_thre=spec.alpha_thre,
-        max_samples_per_ray=march_spec.max_samples_per_ray,
-        compute_distortion=compute_distortion,
-    )
-    colors, opacity, depth, n_visible = outs[:4]
+
+    def _render_prefix(kb, b, origins, directions):
+        """Field eval + composite over the first `kb` (static) sample-buffer
+        rows.  The buffer is compacted, so live samples are a prefix —
+        the field eval (the expensive stage) runs on the smallest
+        power-of-two prefix covering them, the sample-space counterpart
+        of the marcher's ray bucketing: the reference's CUDA kernels cost
+        O(len(t_starts)) by dynamic shape (external/utils.py:106-129);
+        here the same adaptivity comes from a lax.switch ladder of static
+        prefixes.  All branches share the (B,)-shaped outputs."""
+        sub = dict(b)
+        for k in ("ray_idx", "t_mid", "delta", "valid"):
+            sub[k] = b[k][:kb]
+        positions, dirs = ray_march.sample_positions(
+            sub, origins, directions
+        )
+        field_fn = lambda p, x, d: fields.field_apply(  # noqa: E731
+            p, x, d, aabb, spec.field
+        )
+        if getattr(spec.field, "remat", False):
+            # rematerialize the field eval in the backward pass:
+            # megasample encode intermediates (hash-corner gathers, wide
+            # MLP activations) otherwise land in HBM as residuals and OOM
+            # at the reference 2^20 sample budget
+            field_fn = jax.checkpoint(field_fn)
+        radiance, sigma = field_fn(
+            nerf_params["radiance_field"], positions, dirs
+        )
+        outs = composite_mod.composite(
+            sigma, radiance, sub, num_rays,
+            render_bkgd=bkgd,
+            early_stop_eps=spec.early_stop_eps,
+            alpha_thre=spec.alpha_thre,
+            max_samples_per_ray=march_spec.max_samples_per_ray,
+            compute_distortion=compute_distortion,
+        )
+        colors, opacity, depth, n_visible = outs[:4]
+        sigma_flat = sigma.reshape(-1)
+        valid_f = sub["valid"].astype(sigma_flat.dtype)
+        sig_sum = jnp.sum(valid_f * jnp.log1p(
+            2.0 * sigma_flat * sigma_flat
+        ))
+        sig_cnt = jnp.sum(valid_f)
+        dist = (outs[4] if compute_distortion
+                else jnp.zeros((), sigma_flat.dtype))
+        return colors, opacity, depth, n_visible, dist, sig_sum, sig_cnt
+
+    ladder = _sample_bucket_ladder(capacity)
+    if len(ladder) == 1:
+        (colors, opacity, depth, n_visible, dist_sum, sig_sum,
+         sig_cnt) = _render_prefix(capacity, buf, origins, directions)
+    else:
+        live = jnp.minimum(buf["total"], capacity)
+        bucket_idx = sum(
+            (live > kb).astype(jnp.int32) for kb in ladder[:-1]
+        )
+        # Non-top branches are rematerialized: lax.switch's VJP emits a
+        # residual slot for EVERY branch (zero-filled for the non-taken
+        # ones), so un-checkpointed branches SUM their residual memory —
+        # the 4-level ladder measured 50-63 G HBM at the 2^20 budget.
+        # With checkpointed small branches only the top branch keeps
+        # residuals (same memory as the unbucketed graph); a taken small
+        # branch recomputes its forward, which is proportionally cheap.
+        branches = [
+            (lambda op, kb=kb: _render_prefix(kb, *op))
+            if kb == ladder[-1]
+            else jax.checkpoint(lambda op, kb=kb: _render_prefix(kb, *op))
+            for kb in ladder
+        ]
+        (colors, opacity, depth, n_visible, dist_sum, sig_sum,
+         sig_cnt) = jax.lax.switch(
+            bucket_idx, branches, (buf, origins, directions)
+        )
     depth = depth / (opacity + spec.opacity_eps)
-    sigma_flat = sigma.reshape(-1)
-    valid_f = buf["valid"].astype(sigma_flat.dtype)
-    sigma_reg = jnp.sum(
-        valid_f * jnp.log1p(2.0 * sigma_flat * sigma_flat)
-    ) / jnp.maximum(jnp.sum(valid_f), 1.0)
+    sigma_reg = sig_sum / jnp.maximum(sig_cnt, 1.0)
     regs = {"sparsity": sigma_reg}
     if compute_distortion:
         n_valid_rays = jnp.maximum(
-            jnp.sum(ray_valid, dtype=sigma_flat.dtype), 1.0
+            jnp.sum(ray_valid, dtype=dist_sum.dtype), 1.0
         )
-        regs["distortion"] = outs[4] / n_valid_rays
+        regs["distortion"] = dist_sum / n_valid_rays
     else:
-        regs["distortion"] = jnp.zeros((), sigma_flat.dtype)
+        regs["distortion"] = jnp.zeros((), jnp.float32)
     return colors, opacity, depth, n_visible, buf["total"], regs
 
 

@@ -575,3 +575,55 @@ def test_distortion_loss_end_to_end(dataset, tmp_path_factory):
     assert np.isfinite(float(aux["loss/distortion"]))
     assert float(aux["loss/distortion"]) >= 0.0
     assert float(aux["distortion_weight"]) == pytest.approx(0.001)
+
+
+def test_fused_diff_render_matches_unfused(dataset, tmp_path_factory,
+                                           monkeypatch):
+    """The opt-in fused interval-endpoint render (REN_FUSE_DIFF=1,
+    engine/train.py) is semantically identical to the two-render
+    dispatch: with stratified jitter disabled by comparing the loss on
+    the SAME params/batch/key, the fused and unfused paths must agree to
+    f32 tolerance (the fused path draws per-ray jitter from one key over
+    2B rows vs two keys over B rows, so exact bitwise equality is not
+    expected -- we check the controller statistics and loss scale
+    instead, plus that a fused training step is finite and its
+    controller aux matches the unfused formulas)."""
+    from robust_e_nerf_tpu.engine import train as train_mod
+
+    tmp = tmp_path_factory.mktemp("engine_fused")
+    cfg = tiny_config(dataset, tmp, **{"trainer.limit_train_batches": 1})
+    trainer = Trainer(cfg, logging_enabled=False)
+
+    def run_step():
+        out = trainer.train_step(
+            trainer.params, trainer.opt_state, trainer.ctrl,
+            trainer.buffers, trainer.device_table,
+            trainer.occ_state["binary"], trainer._key,
+        )
+        return float(jax.device_get(out[3])), jax.device_get(out[4])
+
+    monkeypatch.setenv("REN_FUSE_DIFF", "0")
+    trainer.train_step = train_mod.make_train_step(
+        trainer.spec, trainer.optimizer, trainer.mesh,
+        trainer.sample_budget, trainer.init_batch_size,
+    )
+    loss_unfused, aux_unfused = run_step()
+
+    monkeypatch.setenv("REN_FUSE_DIFF", "1")
+    trainer.train_step = train_mod.make_train_step(
+        trainer.spec, trainer.optimizer, trainer.mesh,
+        trainer.sample_budget, trainer.init_batch_size,
+    )
+    loss_fused, aux_fused = run_step()
+
+    assert np.isfinite(loss_fused)
+    # same batch, same initial params: the two paths see identical rays
+    # and differ only in marching jitter -> loss and samples/ray agree
+    # to a few percent
+    assert loss_fused == pytest.approx(loss_unfused, rel=0.05)
+    assert float(aux_fused["mean_num_samples_per_ray"]) == pytest.approx(
+        float(aux_unfused["mean_num_samples_per_ray"]), rel=0.05
+    )
+    assert float(aux_fused["mean_marched_per_ray"]) == pytest.approx(
+        float(aux_unfused["mean_marched_per_ray"]), rel=0.05
+    )
