@@ -160,6 +160,78 @@ def pixel_params_to_ray(intrinsics_inv, pixel_position, t_wc_position,
     return t_wc_position, world_dir
 
 
+def _visible_compact_enabled():
+    """Opt-in (REN_VISIBLE_COMPACT=1) visibility-filtered rendering."""
+    import os
+
+    return os.environ.get("REN_VISIBLE_COMPACT", "0") == "1"
+
+
+def _compact_visible(nerf_params, buf, origins, directions, aabb,
+                     spec: NerfSpec, march_spec):
+    """Re-compact the sample buffer to the transmittance-visible subset.
+
+    The reference's marcher filters samples by a non-differentiable
+    density pre-pass (nerfacc ray_marching's sigma_fn + render_visibility,
+    external/utils.py:107-130): samples whose accumulated transmittance
+    has fallen below `early_stop_eps` (or whose alpha is below
+    `alpha_thre`) are dropped BEFORE rendering, and only the survivors are
+    evaluated differentiably.  This reproduces that contract: a
+    stop-gradient density forward over the marched buffer, the same
+    visibility predicate, then a scatter compaction (ray-major order
+    preserved) so the differentiable field eval — and its dominant
+    table-gradient scatter — runs only on the visible subset (~10x fewer
+    rows than marched once surfaces sharpen).  Costs one density-only
+    forward; combine with the sample-prefix ladder so both passes scale
+    with their live counts.
+    """
+    sg = jax.lax.stop_gradient
+    positions, _ = ray_march.sample_positions(
+        {**buf, "t_mid": sg(buf["t_mid"])}, sg(origins), sg(directions)
+    )
+    sigma = fields.field_query_density(
+        sg(nerf_params["radiance_field"]), positions, aabb, spec.field
+    ).reshape(-1)
+    num_rows = sigma.shape[0]
+    valid = buf["valid"]
+    sigma_dt = sigma * buf["delta"] * valid.astype(sigma.dtype)
+    alpha = 1.0 - jnp.exp(-sigma_dt)
+    csum = jnp.cumsum(sigma_dt)
+    ecs = csum - sigma_dt
+    ray_first = jnp.clip(buf["ray_first"], 0, num_rows - 1)
+    offsets = ecs[ray_first][buf["ray_idx"]]
+    trans = jnp.exp(-(ecs - offsets))
+    mask = valid & (trans > spec.early_stop_eps)
+    if spec.alpha_thre > 0.0:
+        mask = mask & (alpha >= spec.alpha_thre)
+
+    # ray-major compaction: destination = visible ordinal
+    mask_i = mask.astype(jnp.int32)
+    dest = jnp.cumsum(mask_i) - 1
+    total_vis = dest[-1] + 1
+    src_of = jnp.zeros((num_rows,), jnp.int32).at[
+        jnp.where(mask, dest, num_rows)
+    ].set(jnp.arange(num_rows, dtype=jnp.int32), mode="drop")
+    # per-ray visible counts via the compositor's blocked segment sums
+    # (block-local f32 cumsums of 0/1 rows are exact)
+    block = max(1024, 1 << (march_spec.max_samples_per_ray - 1).bit_length())
+    counts_vis = composite_mod._segment_sums(
+        mask_i[:, None].astype(jnp.float32), buf["ray_first"],
+        buf["counts"], block,
+    )[:, 0].astype(jnp.int32)
+    ends = jnp.cumsum(counts_vis)
+    slot = jnp.arange(num_rows, dtype=jnp.int32)
+    return {
+        "ray_idx": buf["ray_idx"][src_of],
+        "t_mid": buf["t_mid"][src_of],
+        "delta": buf["delta"][src_of],
+        "valid": slot < total_vis,
+        "ray_first": (ends - counts_vis).astype(jnp.int32),
+        "counts": counts_vis,
+        "total": total_vis,
+    }
+
+
 def _sample_bucket_ladder(capacity, min_bucket=8192):
     """Static sample-buffer prefix buckets, ascending, ending at the full
     capacity.  `REN_SAMPLE_BUCKETS` sets the level count (default 1 =
@@ -212,6 +284,10 @@ def render_rays(
         origins, directions, ray_valid, occ_binary, aabb, spec.occ,
         march_spec, key=key, n_valid=n_valid,
     )
+    total_marched = buf["total"]
+    if _visible_compact_enabled():
+        buf = _compact_visible(nerf_params, buf, origins, directions,
+                               aabb, spec, march_spec)
     capacity = march_spec.capacity
     bkgd = get_render_bkgd(nerf_params, spec)
 
@@ -297,7 +373,7 @@ def render_rays(
         regs["distortion"] = dist_sum / n_valid_rays
     else:
         regs["distortion"] = jnp.zeros((), jnp.float32)
-    return colors, opacity, depth, n_visible, buf["total"], regs
+    return colors, opacity, depth, n_visible, total_marched, regs
 
 
 def ray_distance_to_z_depth(depth, ray_direction, t_wc_orientation):

@@ -627,3 +627,52 @@ def test_fused_diff_render_matches_unfused(dataset, tmp_path_factory,
     assert float(aux_fused["mean_marched_per_ray"]) == pytest.approx(
         float(aux_unfused["mean_marched_per_ray"]), rel=0.05
     )
+
+
+def test_visible_compact_render_matches(dataset, tmp_path_factory,
+                                        monkeypatch):
+    """The opt-in visibility-compacted render (REN_VISIBLE_COMPACT=1,
+    models/nerf.py:_compact_visible) reproduces the plain path: dropped
+    samples have transmittance < early_stop_eps, so the rendered
+    log-intensities (and hence the loss) agree to ~eps, and the
+    controller statistics (visible samples/ray, marched/ray) match.
+    This mirrors the reference's non-differentiable sigma_fn marching
+    filter (external/utils.py:107-130)."""
+    from robust_e_nerf_tpu.engine import train as train_mod
+
+    tmp = tmp_path_factory.mktemp("engine_viscompact")
+    cfg = tiny_config(dataset, tmp, **{"trainer.limit_train_batches": 1})
+    trainer = Trainer(cfg, logging_enabled=False)
+
+    def run_step():
+        out = trainer.train_step(
+            trainer.params, trainer.opt_state, trainer.ctrl,
+            trainer.buffers, trainer.device_table,
+            trainer.occ_state["binary"], trainer._key,
+        )
+        return float(jax.device_get(out[3])), jax.device_get(out[4])
+
+    monkeypatch.setenv("REN_VISIBLE_COMPACT", "0")
+    trainer.train_step = train_mod.make_train_step(
+        trainer.spec, trainer.optimizer, trainer.mesh,
+        trainer.sample_budget, trainer.init_batch_size,
+    )
+    loss_plain, aux_plain = run_step()
+
+    monkeypatch.setenv("REN_VISIBLE_COMPACT", "1")
+    trainer.train_step = train_mod.make_train_step(
+        trainer.spec, trainer.optimizer, trainer.mesh,
+        trainer.sample_budget, trainer.init_batch_size,
+    )
+    loss_vis, aux_vis = run_step()
+
+    assert np.isfinite(loss_vis)
+    # same rays, same jitter key: identical sample sets, the only
+    # difference is dropping sub-eps-transmittance samples
+    assert loss_vis == pytest.approx(loss_plain, rel=1e-3, abs=1e-4)
+    assert float(aux_vis["mean_marched_per_ray"]) == pytest.approx(
+        float(aux_plain["mean_marched_per_ray"]), rel=1e-6
+    )
+    assert float(aux_vis["mean_num_samples_per_ray"]) == pytest.approx(
+        float(aux_plain["mean_num_samples_per_ray"]), rel=0.02
+    )
