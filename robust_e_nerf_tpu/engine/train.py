@@ -710,38 +710,31 @@ def render_images_dispatch(params, buffers, occ_binary, spec: ModelSpec,
     num_images = len(positions)
     flat_pix = np.asarray(img_pixel_pos).reshape(-1, 2)
     rays_per_img = flat_pix.shape[0]
-    pix_all = np.tile(flat_pix, (num_images, 1))
     pos_host = np.asarray(jax.device_get(positions), np.float32)
     rot_host = np.asarray(jax.device_get(rotations), np.float32)
-    pos_all = np.repeat(pos_host, rays_per_img, axis=0)
-    rot_all = np.repeat(rot_host, rays_per_img, axis=0)
     num_rays = num_images * rays_per_img
 
     chunk = spec.nerf.test_chunk_size
     chunk = -(-chunk // num_chips) * num_chips  # divisible by the mesh
     pad = (-num_rays) % chunk
-    if pad:
-        pix_all = np.concatenate(
-            [pix_all, np.zeros((pad, 2), pix_all.dtype)], axis=0
-        )
-        pos_all = np.concatenate(
-            [pos_all, np.zeros((pad, 3), np.float32)], axis=0
-        )
-        rot_all = np.concatenate(
-            [rot_all, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))],
-            axis=0,
-        )
-    valid_all = np.arange(num_rays + pad) < num_rays
 
+    # per-chunk gather from the SMALL per-image pose arrays — a full
+    # (num_rays, 3, 3) host materialization would be ~GBs for a
+    # many-view full-resolution test stage; padded rows reuse image 0's
+    # pose and are masked out by `valid`
     intrinsics_inv = jnp.asarray(intrinsics_inv)
     outs, totals = [], []
     for i in range(0, num_rays + pad, chunk):
+        rows = np.arange(i, i + chunk)
+        valid = rows < num_rays
+        r = np.where(valid, rows, 0)
+        img_idx = r // rays_per_img
         intensity, _opacity, total = eval_chunk_fn(
             params, buffers, occ_binary, intrinsics_inv,
-            jnp.asarray(pix_all[i:i + chunk]),
-            jnp.asarray(pos_all[i:i + chunk]),
-            jnp.asarray(rot_all[i:i + chunk]),
-            jnp.asarray(valid_all[i:i + chunk]),
+            jnp.asarray(flat_pix[r % rays_per_img]),
+            jnp.asarray(pos_host[img_idx]),
+            jnp.asarray(rot_host[img_idx]),
+            jnp.asarray(valid),
         )
         outs.append(intensity)
         totals.append(total)

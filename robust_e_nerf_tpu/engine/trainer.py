@@ -344,7 +344,8 @@ class Trainer:
 
             self._check_finite(jax.device_get(self.ctrl))
             self.current_epoch += 1
-            if self.current_epoch % self.check_val_every_n_epoch == 0:
+            val_ran = self.current_epoch % self.check_val_every_n_epoch == 0
+            if val_ran:
                 metrics = self.run_evaluation("val")
                 self._last_val_metrics = metrics
                 print(
@@ -355,7 +356,15 @@ class Trainer:
                     ),
                     flush=True,
                 )
-            if self.checkpoint_enabled:
+            # Monitor-based checkpointing saves only on epochs where
+            # validation actually ran — Lightning's ModelCheckpoint saves
+            # on validation end, and attaching a stale score to fresh
+            # (unvalidated) weights would let them occupy a top-k slot on
+            # a score they never achieved.  Without a monitor, keep-latest
+            # saves every (every_n_epochs-th) epoch as before.
+            if self.checkpoint_enabled and (
+                self.ckpt_monitor is None or val_ran
+            ):
                 self.save_checkpoint(self._last_val_metrics)
         elapsed = time.time() - t_start
         if self.writer is not None:
@@ -581,6 +590,10 @@ class Trainer:
             return None
         if self.ckpt_save_top_k == 0:
             return None
+        # every_n_epochs == 0 disables epoch-cadence saving entirely
+        # (Lightning's ModelCheckpoint semantics)
+        if self.ckpt_every_n_epochs == 0:
+            return None
         if (
             self.current_epoch > 0
             and self.current_epoch % self.ckpt_every_n_epochs != 0
@@ -687,7 +700,7 @@ class Trainer:
                 mismatches.append((prefix[:-1], a, b))
 
         for section in ("model", "loss", "metric", "data", "optimizer",
-                        "multi_step_lr"):
+                        "lr_scheduler"):
             if section in stored_cfg and section in active:
                 walk(stored_cfg[section], active[section], f"{section}.")
         for key, stored_v, active_v in mismatches:

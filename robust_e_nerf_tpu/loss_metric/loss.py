@@ -105,13 +105,22 @@ def build_loss_spec(loss_config) -> LossSpec:
             loss_config["weight"].get("distortion") or 0.0
         ),
         sparsity_schedule_mode=schedule.get("mode"),
-        sparsity_hold_steps=float(schedule.get("hold_steps") or 0.0),
-        sparsity_decay_steps=float(schedule.get("decay_steps") or 2000.0),
-        sparsity_decay_rate=float(schedule.get("decay_rate") or 0.1),
-        sparsity_floor=float(schedule.get("floor") or 0.0),
-        sparsity_occ_frac_lo=float(schedule.get("occ_frac_lo") or 0.02),
-        sparsity_occ_frac_hi=float(schedule.get("occ_frac_hi") or 0.10),
+        sparsity_hold_steps=_float_default(schedule, "hold_steps", 0.0),
+        sparsity_decay_steps=_float_default(schedule, "decay_steps",
+                                            2000.0),
+        sparsity_decay_rate=_float_default(schedule, "decay_rate", 0.1),
+        sparsity_floor=_float_default(schedule, "floor", 0.0),
+        sparsity_occ_frac_lo=_float_default(schedule, "occ_frac_lo", 0.02),
+        sparsity_occ_frac_hi=_float_default(schedule, "occ_frac_hi", 0.10),
     )
+
+
+def _float_default(mapping, key, default):
+    """`mapping.get(key)` with a default applied only when the key is
+    absent/None — an explicitly configured 0 stays 0 (an `or`-default
+    would silently replace it)."""
+    value = mapping.get(key)
+    return float(default if value is None else value)
 
 
 def _scheduled_weight(spec: LossSpec, base, step, occ_frac):

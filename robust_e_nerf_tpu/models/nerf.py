@@ -186,24 +186,38 @@ def _compact_visible(nerf_params, buf, origins, directions, aabb,
     with their live counts.
     """
     sg = jax.lax.stop_gradient
-    positions, _ = ray_march.sample_positions(
-        {**buf, "t_mid": sg(buf["t_mid"])}, sg(origins), sg(directions)
+    num_rows = buf["t_mid"].shape[0]
+
+    def _density_prefix(kb, b, origins, directions):
+        sub = {k: (b[k][:kb] if k in ("ray_idx", "t_mid") else b[k])
+               for k in ("ray_idx", "t_mid")}
+        positions, _ = ray_march.sample_positions(
+            {**sub, "t_mid": sg(sub["t_mid"])}, sg(origins),
+            sg(directions)
+        )
+        s = fields.field_query_density(
+            sg(nerf_params["radiance_field"]), positions, aabb, spec.field
+        ).reshape(-1)
+        return jnp.pad(s, (0, num_rows - kb))
+
+    # the pre-pass is forward-only (no residual slots), so the prefix
+    # ladder applies without the checkpoint workaround
+    ladder = _sample_bucket_ladder(num_rows)
+    if len(ladder) == 1:
+        sigma = _density_prefix(num_rows, buf, origins, directions)
+    else:
+        live = jnp.minimum(buf["total"], num_rows)
+        idx = sum((live > kb).astype(jnp.int32) for kb in ladder[:-1])
+        sigma = jax.lax.switch(
+            idx,
+            [(lambda op, kb=kb: _density_prefix(kb, *op))
+             for kb in ladder],
+            (buf, origins, directions),
+        )
+    alpha, trans = composite_mod.alpha_transmittance(sigma, buf)
+    mask = composite_mod.visibility_mask(
+        alpha, trans, buf["valid"], spec.early_stop_eps, spec.alpha_thre
     )
-    sigma = fields.field_query_density(
-        sg(nerf_params["radiance_field"]), positions, aabb, spec.field
-    ).reshape(-1)
-    num_rows = sigma.shape[0]
-    valid = buf["valid"]
-    sigma_dt = sigma * buf["delta"] * valid.astype(sigma.dtype)
-    alpha = 1.0 - jnp.exp(-sigma_dt)
-    csum = jnp.cumsum(sigma_dt)
-    ecs = csum - sigma_dt
-    ray_first = jnp.clip(buf["ray_first"], 0, num_rows - 1)
-    offsets = ecs[ray_first][buf["ray_idx"]]
-    trans = jnp.exp(-(ecs - offsets))
-    mask = valid & (trans > spec.early_stop_eps)
-    if spec.alpha_thre > 0.0:
-        mask = mask & (alpha >= spec.alpha_thre)
 
     # ray-major compaction: destination = visible ordinal
     mask_i = mask.astype(jnp.int32)
@@ -214,7 +228,9 @@ def _compact_visible(nerf_params, buf, origins, directions, aabb,
     ].set(jnp.arange(num_rows, dtype=jnp.int32), mode="drop")
     # per-ray visible counts via the compositor's blocked segment sums
     # (block-local f32 cumsums of 0/1 rows are exact)
-    block = max(1024, 1 << (march_spec.max_samples_per_ray - 1).bit_length())
+    block = composite_mod.segment_block_size(
+        march_spec.max_samples_per_ray
+    )
     counts_vis = composite_mod._segment_sums(
         mask_i[:, None].astype(jnp.float32), buf["ray_first"],
         buf["counts"], block,

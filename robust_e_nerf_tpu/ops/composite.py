@@ -121,6 +121,40 @@ def distortion_sum(weights, buf, valid):
     return jnp.sum(jnp.where(valid, per_sample, 0.0))
 
 
+def segment_block_size(max_samples_per_ray):
+    """Block length for `_segment_sums`: covers the per-ray sample cap so
+    every ray spans at most two blocks."""
+    return max(1024, 1 << (max_samples_per_ray - 1).bit_length())
+
+
+def alpha_transmittance(sigma, buf):
+    """(alpha, trans) over the compacted ray-major sample buffer — the
+    exclusive per-ray transmittance via one global cumsum + a ray-first
+    offset gather (module docstring).  Shared by the compositor and the
+    visibility compaction (models/nerf.py:_compact_visible) so the
+    predicate semantics cannot drift apart."""
+    sigma = sigma.reshape(-1)
+    valid = buf["valid"]
+    sigma_dt = sigma * buf["delta"] * valid.astype(sigma.dtype)
+    alpha = 1.0 - jnp.exp(-sigma_dt)
+    csum = jnp.cumsum(sigma_dt)
+    ecs = csum - sigma_dt
+    ray_first = jnp.clip(buf["ray_first"], 0, sigma.shape[0] - 1)
+    offsets = ecs[ray_first][buf["ray_idx"]]
+    trans = jnp.exp(-(ecs - offsets))
+    return alpha, trans
+
+
+def visibility_mask(alpha, trans, valid, early_stop_eps, alpha_thre):
+    """The reference marcher's sample filter (nerfacc render_visibility,
+    external/utils.py:107-130): keep samples whose accumulated
+    transmittance is above eps (and alpha above the threshold, if set)."""
+    mask = valid & (trans > early_stop_eps)
+    if alpha_thre > 0.0:
+        mask = mask & (alpha >= alpha_thre)
+    return mask
+
+
 def composite(
     sigma,            # (K,) or (K, 1) densities
     radiance,         # (K, C) post-activation radiance
@@ -140,19 +174,13 @@ def composite(
     accumulate = os.environ.get("REN_COMPOSITE", accumulate)
     sigma = sigma.reshape(-1)
     valid = buf["valid"]
-    sigma_dt = sigma * buf["delta"] * valid.astype(sigma.dtype)
-    alpha = 1.0 - jnp.exp(-sigma_dt)
-
     if alpha_thre > 0.0:
-        keep = alpha >= alpha_thre
-        sigma_dt = jnp.where(keep, sigma_dt, 0.0)
-        alpha = jnp.where(keep, alpha, 0.0)
-
-    csum = jnp.cumsum(sigma_dt)
-    ecs = csum - sigma_dt
-    ray_first = jnp.clip(buf["ray_first"], 0, sigma.shape[0] - 1)
-    offsets = ecs[ray_first][buf["ray_idx"]]
-    trans = jnp.exp(-(ecs - offsets))
+        # sub-threshold alphas are zeroed BEFORE the transmittance scan
+        # (the reference's alpha_thre filter removes them from rendering)
+        sigma_dt0 = sigma * buf["delta"] * valid.astype(sigma.dtype)
+        keep = (1.0 - jnp.exp(-sigma_dt0)) >= alpha_thre
+        sigma = jnp.where(keep, sigma, 0.0)
+    alpha, trans = alpha_transmittance(sigma, buf)
 
     visible = valid & (trans > early_stop_eps) & (alpha > 0.0)
     weights = jnp.where(visible, alpha * trans, 0.0)
@@ -174,7 +202,7 @@ def composite(
     if accumulate == "cumsum":
         # contiguous-segment sums: blocked cumsum + 2 boundary gathers per
         # ray (see module docstring); block covers the per-ray sample cap
-        block = max(1024, 1 << (max_samples_per_ray - 1).bit_length())
+        block = segment_block_size(max_samples_per_ray)
         acc = _segment_sums(
             payload, buf["ray_first"], buf["counts"], block
         )
