@@ -676,3 +676,75 @@ def test_visible_compact_render_matches(dataset, tmp_path_factory,
     assert float(aux_vis["mean_num_samples_per_ray"]) == pytest.approx(
         float(aux_plain["mean_num_samples_per_ray"]), rel=0.02
     )
+
+
+def test_checkpoint_every_n_epochs_zero_disables(trained, tmp_path_factory):
+    """checkpoint.every_n_epochs=0 disables epoch-cadence saving
+    (Lightning ModelCheckpoint semantics) instead of crashing with
+    ZeroDivisionError."""
+    tmp = tmp_path_factory.mktemp("ckpt_zero")
+    saved = (trained.ckpt_every_n_epochs, trained.ckpt_dirpath,
+             trained._ckpt_records)
+    try:
+        trained.ckpt_every_n_epochs = 0
+        trained.ckpt_dirpath = str(tmp)
+        trained._ckpt_records = []
+        assert trained.save_checkpoint({"val/psnr": 10.0}) is None
+        assert os.listdir(tmp) == []
+    finally:
+        (trained.ckpt_every_n_epochs, trained.ckpt_dirpath,
+         trained._ckpt_records) = saved
+
+
+def test_monitor_checkpoint_saves_only_on_val_epochs(dataset,
+                                                     tmp_path_factory):
+    """With checkpoint.monitor set and check_val_every_n_epoch=2, only
+    epochs where validation ran write checkpoints — fresh weights never
+    inherit a stale score (Lightning saves on validation end)."""
+    tmp = tmp_path_factory.mktemp("ckpt_valonly")
+    cfg = tiny_config(
+        dataset, tmp,
+        **{"trainer.max_epochs": 2,
+           "trainer.limit_train_batches": 2,
+           "trainer.check_val_every_n_epoch": 2},
+    )
+    cfg["checkpoint"] = {
+        "monitor": "val/psnr", "mode": "max", "save_top_k": -1,
+        "every_n_epochs": 1, "dirpath": str(tmp / "ckpts"),
+    }
+    trainer = Trainer(cfg)
+    trainer.fit()
+    names = sorted(os.listdir(str(tmp / "ckpts")))
+    # epoch 1 had no validation -> no checkpoint; epoch 2 validated
+    assert names == ["epoch=1-step=4.npz"]
+
+
+def test_hparams_mismatch_covers_lr_scheduler(trained, tmp_path_factory):
+    """Restore-time hparams validation walks the lr_scheduler section, so
+    a milestones mismatch is surfaced (robust_e_nerf.py:162-173)."""
+    import copy
+
+    import json
+
+    tmp = tmp_path_factory.mktemp("ckpt_lrsched")
+    path = os.path.join(str(tmp), "ck.npz")
+    hparams = json.loads(json.dumps(
+        {"seed": trained.seed, "config": trained.config}, default=str
+    ))
+    ckpt_mod.save_checkpoint(
+        path, jax.device_get(trained.params),
+        jax.device_get(trained.opt_state), jax.device_get(trained.occ_state),
+        0, 1, hparams=hparams,
+    )
+    saved_cfg = trained.config
+    try:
+        cfg2 = copy.deepcopy(dict(trained.config))
+        cfg2["lr_scheduler"]["multi_step_lr"]["milestones"] = [1, 2, 3]
+        trainer2 = trained
+        trainer2.config = cfg2
+        flat = ckpt_mod.load_checkpoint_flat(path)
+        mismatches = trainer2._validate_restore_hparams(flat)
+        keys = [k for k, _, _ in mismatches]
+        assert any("milestones" in k for k in keys), keys
+    finally:
+        trained.config = saved_cfg
