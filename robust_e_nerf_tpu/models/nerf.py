@@ -41,6 +41,16 @@ class NerfSpec:
     render_bkgd: Optional[str]  # None | "parameter"
     radiance_dim: int
     opacity_eps: float = 1e-10
+    # adaptive-compute levers (docs/PERFORMANCE.md round-3 findings);
+    # both default off so reference configs stay reference-exact.
+    # `visible_compact` reproduces the reference marcher's sigma_fn
+    # visibility filter (external/utils.py:107-130) — samples whose
+    # transmittance fell below early_stop_eps are dropped before the
+    # differentiable render.  `sample_bucket_levels` > 1 enables the
+    # static sample-prefix ladder (the fixed-shape counterpart of the
+    # CUDA kernels' O(len(t_starts)) scaling).
+    visible_compact: bool = False
+    sample_bucket_levels: int = 1
 
 
 def derive_render_step_size(nerf_config, aabb):
@@ -118,6 +128,10 @@ def build_nerf_spec(
         test_chunk_size=int(nerf_config["test_chunk_size"]),
         render_bkgd=render_bkgd,
         radiance_dim=radiance_dim,
+        visible_compact=bool(nerf_config.get("visible_compact", False)),
+        sample_bucket_levels=int(
+            nerf_config.get("sample_bucket_levels", 1)
+        ),
     )
 
 
@@ -160,11 +174,16 @@ def pixel_params_to_ray(intrinsics_inv, pixel_position, t_wc_position,
     return t_wc_position, world_dir
 
 
-def _visible_compact_enabled():
-    """Opt-in (REN_VISIBLE_COMPACT=1) visibility-filtered rendering."""
+def _visible_compact_enabled(spec: "NerfSpec"):
+    """Visibility-filtered rendering: `model.nerf.visible_compact` config
+    key; the `REN_VISIBLE_COMPACT` env var (0/1), when set, overrides the
+    config for A/B runs without a config edit."""
     import os
 
-    return os.environ.get("REN_VISIBLE_COMPACT", "0") == "1"
+    env = os.environ.get("REN_VISIBLE_COMPACT")
+    if env is not None:
+        return env == "1"
+    return spec.visible_compact
 
 
 def _compact_visible(nerf_params, buf, origins, directions, aabb,
@@ -202,7 +221,7 @@ def _compact_visible(nerf_params, buf, origins, directions, aabb,
 
     # the pre-pass is forward-only (no residual slots), so the prefix
     # ladder applies without the checkpoint workaround
-    ladder = _sample_bucket_ladder(num_rows)
+    ladder = _sample_bucket_ladder(num_rows, spec.sample_bucket_levels)
     if len(ladder) == 1:
         sigma = _density_prefix(num_rows, buf, origins, directions)
     else:
@@ -248,19 +267,21 @@ def _compact_visible(nerf_params, buf, origins, directions, aabb,
     }
 
 
-def _sample_bucket_ladder(capacity, min_bucket=8192):
+def _sample_bucket_ladder(capacity, levels=1, min_bucket=8192):
     """Static sample-buffer prefix buckets, ascending, ending at the full
-    capacity.  `REN_SAMPLE_BUCKETS` sets the level count (default 1 =
-    off: always evaluate the full buffer).
+    capacity.  `model.nerf.sample_bucket_levels` sets the level count
+    (default 1 = off: always evaluate the full buffer); the
+    `REN_SAMPLE_BUCKETS` env var, when set, overrides it for A/B runs.
 
     Opt-in because the TPU backward pass does NOT share HLO temp space
     between lax.switch branches: with a 4-level ladder the 2^20-budget
-    ngp graph asked for 62.9 G HBM vs ~8 G unbucketed (measured OOM).
-    Worthwhile only for forward-only paths or small capacities until
-    branch buffers alias."""
+    ngp graph asked for 62.9 G HBM vs ~8 G unbucketed (measured OOM
+    before the non-top branches were checkpointed; see render_rays)."""
     import os
 
-    levels = int(os.environ.get("REN_SAMPLE_BUCKETS", 1))
+    env = os.environ.get("REN_SAMPLE_BUCKETS")
+    if env is not None:
+        levels = int(env)
     ladder = [capacity]
     kb = capacity
     while len(ladder) < levels and kb % 2 == 0 and kb // 2 >= min_bucket:
@@ -301,7 +322,7 @@ def render_rays(
         march_spec, key=key, n_valid=n_valid,
     )
     total_marched = buf["total"]
-    if _visible_compact_enabled():
+    if _visible_compact_enabled(spec):
         buf = _compact_visible(nerf_params, buf, origins, directions,
                                aabb, spec, march_spec)
     capacity = march_spec.capacity
@@ -353,7 +374,7 @@ def render_rays(
                 else jnp.zeros((), sigma_flat.dtype))
         return colors, opacity, depth, n_visible, dist, sig_sum, sig_cnt
 
-    ladder = _sample_bucket_ladder(capacity)
+    ladder = _sample_bucket_ladder(capacity, spec.sample_bucket_levels)
     if len(ladder) == 1:
         (colors, opacity, depth, n_visible, dist_sum, sig_sum,
          sig_cnt) = _render_prefix(capacity, buf, origins, directions)

@@ -70,11 +70,23 @@ def main():
     spec = trainer.spec
     march_spec = spec.nerf.march_train
 
+    # REN_PROFILE_CKPT: restore a trained checkpoint before timing, so
+    # the profile measures the SHARP/steady regime (visible/ray <<
+    # marched/ray) instead of the near-init fog where the
+    # visible-compact lever has nothing to drop.  The warmup steps below
+    # then re-settle the occupancy grid and the batch controller to the
+    # restored field.
+    ckpt = os.environ.get("REN_PROFILE_CKPT")
+    if ckpt:
+        trainer.restore(ckpt)
+        print(f"restored checkpoint {ckpt} (step {trainer.global_step})")
+
     # steady state: some warmup steps so occupancy/batch size settle
+    base_step = int(getattr(trainer, "global_step", 0) or 0)
     state = (trainer.params, trainer.opt_state, trainer.ctrl)
     for i in range(20):
         trainer.params = state[0]  # occ updates must see current params
-        trainer.global_step = i
+        trainer.global_step = base_step + i
         trainer.maybe_update_occ_grid()
         state = trainer.train_step(
             state[0], state[1], state[2], trainer.buffers,

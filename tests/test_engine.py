@@ -677,6 +677,70 @@ def test_visible_compact_render_matches(dataset, tmp_path_factory,
         float(aux_plain["mean_num_samples_per_ray"]), rel=0.02
     )
 
+    # config-key path (model.nerf.visible_compact, no env override):
+    # same seed/config => same batch and init params => same loss
+    monkeypatch.delenv("REN_VISIBLE_COMPACT", raising=False)
+    cfg_key = tiny_config(
+        dataset, tmp_path_factory.mktemp("engine_viscfg"),
+        **{"trainer.limit_train_batches": 1,
+           "model.nerf.visible_compact": True},
+    )
+    trainer_cfg = Trainer(cfg_key, logging_enabled=False)
+    out = trainer_cfg.train_step(
+        trainer_cfg.params, trainer_cfg.opt_state, trainer_cfg.ctrl,
+        trainer_cfg.buffers, trainer_cfg.device_table,
+        trainer_cfg.occ_state["binary"], trainer_cfg._key,
+    )
+    loss_cfg = float(jax.device_get(out[3]))
+    assert loss_cfg == pytest.approx(loss_plain, rel=1e-3, abs=1e-4)
+
+
+def test_adaptive_compute_config_keys(dataset, tmp_path_factory,
+                                      monkeypatch):
+    """`model.nerf.visible_compact` / `model.nerf.sample_bucket_levels`
+    are config surface (recorded in checkpoint hparams); the REN_* env
+    vars override them only when set (A/B without config edits)."""
+    from robust_e_nerf_tpu.models import nerf as nerf_mod
+
+    tmp = tmp_path_factory.mktemp("engine_adaptive_keys")
+    cfg = tiny_config(
+        dataset, tmp,
+        **{"model.nerf.visible_compact": True,
+           "model.nerf.sample_bucket_levels": 3},
+    )
+    spec = nerf_mod.build_nerf_spec(
+        cfg.model.nerf, aabb=[-1.5, -1.5, -1.5, 1.5, 1.5, 1.5],
+        radiance_dim=1, render_bkgd=None, train_capacity=16384,
+    )
+    assert spec.visible_compact is True
+    assert spec.sample_bucket_levels == 3
+
+    monkeypatch.delenv("REN_VISIBLE_COMPACT", raising=False)
+    monkeypatch.delenv("REN_SAMPLE_BUCKETS", raising=False)
+    assert nerf_mod._visible_compact_enabled(spec) is True
+    # min_bucket=8192 floors the ladder depth below the requested 3
+    assert nerf_mod._sample_bucket_ladder(
+        16384, spec.sample_bucket_levels
+    ) == [8192, 16384]
+
+    monkeypatch.setenv("REN_VISIBLE_COMPACT", "0")
+    monkeypatch.setenv("REN_SAMPLE_BUCKETS", "1")
+    assert nerf_mod._visible_compact_enabled(spec) is False
+    assert nerf_mod._sample_bucket_ladder(
+        16384, spec.sample_bucket_levels
+    ) == [16384]
+
+    # defaults: absent keys keep the reference-exact path
+    cfg_plain = tiny_config(
+        dataset, tmp_path_factory.mktemp("engine_adaptive_plain")
+    )
+    spec_plain = nerf_mod.build_nerf_spec(
+        cfg_plain.model.nerf, aabb=[-1.5, -1.5, -1.5, 1.5, 1.5, 1.5],
+        radiance_dim=1, render_bkgd=None, train_capacity=16384,
+    )
+    assert spec_plain.visible_compact is False
+    assert spec_plain.sample_bucket_levels == 1
+
 
 def test_checkpoint_every_n_epochs_zero_disables(trained, tmp_path_factory):
     """checkpoint.every_n_epochs=0 disables epoch-cadence saving
