@@ -580,28 +580,17 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
         # is far below marched samples/ray (sharp surfaces + loose
         # occupancy), exactly the regime where the unclamped retarget
         # used to overflow the buffer and corrupt the loss.
-        mean_samples = aux["mean_num_samples_per_ray"]
-        marched_pr = aux["mean_marched_per_ray"]
-        sample_capacity = spec.nerf.march_train.capacity * num_chips
-        batch_cap = jnp.maximum(
-            (0.92 * sample_capacity / jnp.maximum(marched_pr, 1e-6))
-            .astype(jnp.int32),
-            1,
-        )
-        new_batch_size = jnp.where(
-            (mean_samples > 0) & apply,
-            jnp.minimum(
-                (local_budget * num_chips
-                 / jnp.maximum(mean_samples, 1e-6)).astype(jnp.int32),
-                batch_cap,
-            ),
-            ctrl["batch_size"],
+        new_batch_size = retarget_batch_size(
+            aux["mean_num_samples_per_ray"],
+            aux["mean_marched_per_ray"],
+            ctrl["batch_size"], apply,
+            local_budget * num_chips,
+            spec.nerf.march_train.capacity * num_chips,
+            local_capacity * num_chips,
         )
         ctrl = {
             "step": ctrl["step"] + 1,
-            "batch_size": jnp.clip(
-                new_batch_size, 1, local_capacity * num_chips
-            ),
+            "batch_size": new_batch_size,
             "nonfinite_step": nonfinite_step,
         }
         aux["batch_size"] = ctrl["batch_size"]
@@ -609,6 +598,40 @@ def make_train_step(spec: ModelSpec, optimizer, mesh,
         return params, opt_state, ctrl, loss, aux
 
     return train_step
+
+
+def retarget_batch_size(mean_visible_pr, mean_marched_pr, prev_batch,
+                        apply, sample_budget, sample_capacity,
+                        ray_capacity):
+    """Next-step ray batch: the reference retarget `budget / visible
+    samples-per-ray` (robust_e_nerf.py:940-948) bounded by the
+    static-buffer clamp `0.92 * sample_capacity / marched samples-per-ray`
+    (0.92 margin for stochastic marching + per-chip imbalance).
+
+    The reference needs no such clamp — its sample buffers are dynamically
+    sized CUDA tensors — so the clamp is the one deliberate controller
+    deviation of the fixed-shape design.  It binds only when visible <<
+    marched (sharp surfaces + loose occupancy), exactly the regime where
+    the unclamped retarget overflows the marched-sample buffer, tail rays
+    silently march zero samples, and their garbage renders trap the run
+    (every r2/r3 collapse log in docs/diagnostics/ pins at batch==capacity
+    with samples/ray 5-25).  All quantities are cross-chip totals.
+    """
+    batch_cap = jnp.maximum(
+        (0.92 * sample_capacity
+         / jnp.maximum(mean_marched_pr, 1e-6)).astype(jnp.int32),
+        1,
+    )
+    new_batch = jnp.where(
+        (mean_visible_pr > 0) & apply,
+        jnp.minimum(
+            (sample_budget
+             / jnp.maximum(mean_visible_pr, 1e-6)).astype(jnp.int32),
+            batch_cap,
+        ),
+        prev_batch,
+    )
+    return jnp.clip(new_batch, 1, ray_capacity)
 
 
 def init_controller_state(init_batch_size):

@@ -8,6 +8,7 @@ multi-chip test runs the same step on the virtual 8-device CPU mesh
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -89,6 +90,49 @@ def test_dynamic_batch_size_controller(trained):
     assert int(ctrl["step"]) == trained.global_step
     assert int(ctrl["batch_size"]) != 512
     assert 1 <= int(ctrl["batch_size"]) <= trained.global_batch_capacity
+
+
+def test_retarget_batch_size_capacity_clamp():
+    """The static-buffer clamp (the one deliberate controller deviation,
+    engine/train.py:retarget_batch_size): when visible samples/ray falls
+    far below marched samples/ray, the reference retarget budget/visible
+    would overflow the fixed marched-sample buffer; the clamp bounds the
+    next batch by 0.92 * sample_capacity / marched-per-ray instead."""
+    from robust_e_nerf_tpu.engine.train import retarget_batch_size
+
+    budget, capacity = 2**20, int(1.25 * 2**20)
+    args = dict(prev_batch=jnp.int32(4096), apply=jnp.bool_(True),
+                sample_budget=budget, sample_capacity=capacity,
+                ray_capacity=32768)
+
+    # fog regime (visible == marched): the reference retarget, unclamped
+    fog = retarget_batch_size(jnp.float32(256.0), jnp.float32(256.0),
+                              **args)
+    assert int(fog) == budget // 256
+
+    # sharp regime (visible << marched): the retarget budget/visible
+    # (= 2^20 / 16 = 65536 rays -> 65536 * 200 marched = 10x capacity)
+    # must be cut to 0.92 * capacity / marched-per-ray
+    sharp = retarget_batch_size(jnp.float32(16.0), jnp.float32(200.0),
+                                **args)
+    assert int(sharp) == int(0.92 * capacity / 200.0)
+    assert int(sharp) * 200 <= capacity
+
+    # no visible samples or a non-finite step: keep the previous batch
+    dead = retarget_batch_size(jnp.float32(0.0), jnp.float32(200.0),
+                               **args)
+    assert int(dead) == 4096
+    frozen = retarget_batch_size(
+        jnp.float32(256.0), jnp.float32(256.0),
+        jnp.int32(4096), jnp.bool_(False), budget, capacity, 32768,
+    )
+    assert int(frozen) == 4096
+
+    # the ray-capacity clip still applies on top
+    tiny = retarget_batch_size(jnp.float32(1.0), jnp.float32(1.0),
+                               jnp.int32(1), jnp.bool_(True),
+                               budget, capacity, 8192)
+    assert int(tiny) == 8192
 
 
 def test_eval_metrics_finite(trained):
