@@ -126,6 +126,10 @@ def bench_one(arch, budget_log2, warmup, bench_steps,
 
     batch_size = int(host_aux["batch_size"])
     mean_samples = float(host_aux["mean_num_samples_per_ray"])
+    # marched/ray >= visible/ray: in the sharp regime the field still
+    # evaluates every MARCHED sample (visible is what the compositor
+    # keeps), so marched samples/s is the honest field-evaluation rate
+    marched = float(host_aux.get("mean_marched_per_ray", mean_samples))
     steps_per_sec = bench_steps / elapsed
     rays_per_sec = steps_per_sec * batch_size * renders_per_step
     rays_per_sec /= trainer.num_chips
@@ -135,6 +139,9 @@ def bench_one(arch, budget_log2, warmup, bench_steps,
         "ms_per_step": round(1000.0 / steps_per_sec, 1),
         "rays_per_sec_per_chip": round(rays_per_sec, 1),
         "ray_samples_per_sec_per_chip": round(samples_per_sec, 1),
+        "marched_samples_per_sec_per_chip": round(
+            rays_per_sec * marched, 1
+        ),
         "events_per_sec": round(bench_steps * batch_size / elapsed, 1),
         "batch_size": batch_size,
         "mean_samples_per_ray": round(mean_samples, 1),
