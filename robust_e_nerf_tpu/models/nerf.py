@@ -246,12 +246,13 @@ def _compact_visible(nerf_params, buf, origins, directions, aabb,
         jnp.where(mask, dest, num_rows)
     ].set(jnp.arange(num_rows, dtype=jnp.int32), mode="drop")
     # per-ray visible counts via the compositor's blocked segment sums
-    # (block-local f32 cumsums of 0/1 rows are exact)
+    # (block-local f32 cumsums of 0/1 rows are exact); the mask column
+    # stays 1-D — a (K, 1) f32 would tile-pad 128x (672 MB at 2^20)
     block = composite_mod.segment_block_size(
         march_spec.max_samples_per_ray
     )
     counts_vis = composite_mod._segment_sums(
-        mask_i[:, None].astype(jnp.float32), buf["ray_first"],
+        (mask_i.astype(jnp.float32),), buf["ray_first"],
         buf["counts"], block,
     )[:, 0].astype(jnp.int32)
     ends = jnp.cumsum(counts_vis)
@@ -383,17 +384,21 @@ def render_rays(
         bucket_idx = sum(
             (live > kb).astype(jnp.int32) for kb in ladder[:-1]
         )
-        # Non-top branches are rematerialized: lax.switch's VJP emits a
-        # residual slot for EVERY branch (zero-filled for the non-taken
-        # ones), so un-checkpointed branches SUM their residual memory —
-        # the 4-level ladder measured 50-63 G HBM at the 2^20 budget.
-        # With checkpointed small branches only the top branch keeps
-        # residuals (same memory as the unbucketed graph); a taken small
-        # branch recomputes its forward, which is proportionally cheap.
+        # EVERY branch is rematerialized: lax.switch's VJP emits a
+        # residual slot per branch (zero-filled for the non-taken ones),
+        # so un-checkpointed branches SUM their residual memory — the
+        # 4-level ladder measured 50-63 G HBM at the 2^20 budget with no
+        # checkpoints, and still 32.5 G with only the non-top branches
+        # checkpointed: the top branch's K-sized residuals (a dozen
+        # (K, <=64) MLP/encode activations) are copied across the switch
+        # boundary where their lifetimes can no longer alias (64%
+        # measured fragmentation).  Checkpointing all branches keeps
+        # residuals branch-local: the backward recomputes the taken
+        # branch's forward at bucket-proportional cost (~25% step at the
+        # top bucket, negligible at the small buckets the sharp regime
+        # actually takes).
         branches = [
-            (lambda op, kb=kb: _render_prefix(kb, *op))
-            if kb == ladder[-1]
-            else jax.checkpoint(lambda op, kb=kb: _render_prefix(kb, *op))
+            jax.checkpoint(lambda op, kb=kb: _render_prefix(kb, *op))
             for kb in ladder
         ]
         (colors, opacity, depth, n_visible, dist_sum, sig_sum,

@@ -35,24 +35,27 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _segment_sums(payload, ray_first, counts, block):
-    """Per-ray sums of contiguous payload row segments via a blocked cumsum.
+def _segment_sums(cols, ray_first, counts, block):
+    """Per-ray sums of contiguous sample-row segments via blocked cumsums.
 
-    `payload` is (K, C) with segment rows already zero outside their
-    segments; ray r covers rows [ray_first[r], ray_first[r] + counts[r]).
-    Requires counts <= block (guaranteed upstream: counts are bounded by
-    the per-ray lattice length, which `block` is chosen to cover), so each
-    segment touches at most two blocks.
+    `cols` is a tuple of 1-D (K,) arrays (one per accumulated quantity)
+    with segment rows already zero outside their segments; ray r covers
+    rows [ray_first[r], ray_first[r] + counts[r]).  Returns
+    (len(ray_first), len(cols)).  Requires counts <= block (guaranteed
+    upstream: counts are bounded by the per-ray lattice length, which
+    `block` is chosen to cover), so each segment touches at most two
+    blocks.
+
+    The columns are deliberately kept 1-D and reshaped to
+    (num_blocks, block) — block >= 1024 — for the cumsum: a 2-D (K, C)
+    payload with a narrow trailing dim tile-pads 128/C x under the TPU
+    (8, 128) layout (671 MB per materialization at the 2^20 budget's
+    K = 1.31M; the round-3 ladder OOM was dominated by exactly such
+    temps), while the (num_blocks, block) layout pads nothing.
     """
-    num_rows, n_cols = payload.shape
+    num_rows = cols[0].shape[0]
     num_blocks = -(-num_rows // block)
     pad = num_blocks * block - num_rows
-    if pad:
-        payload = jnp.pad(payload, ((0, pad), (0, 0)))
-    blocked = payload.reshape(num_blocks, block, n_cols)
-    within = jnp.cumsum(blocked, axis=1)        # inclusive, block-local
-    block_totals = within[:, -1]                # (num_blocks, C) exact sums
-    within_flat = within.reshape(num_blocks * block, n_cols)
     flat_max = num_blocks * block - 1
 
     start = jnp.clip(ray_first, 0, num_rows)              # inclusive
@@ -60,21 +63,30 @@ def _segment_sums(payload, ray_first, counts, block):
     last = jnp.maximum(stop - 1, 0)
     b_start = start // block
     b_last = last // block
+    head_valid = (start % block) > 0
+    same_block = b_last == b_start
+    nonempty = stop > start
+    idx_head = jnp.clip(start - 1, 0, flat_max)
+    idx_tail = jnp.clip(last, 0, flat_max)
 
-    # sum of the start block's rows BEFORE `start` (0 at a block boundary)
-    head_exc = jnp.where(
-        ((start % block) > 0)[:, None],
-        within_flat[jnp.clip(start - 1, 0, flat_max)],
-        0.0,
-    )
-    # sum of the last block's rows THROUGH `last`
-    tail_inc = within_flat[jnp.clip(last, 0, flat_max)]
-    acc = jnp.where(
-        (b_last == b_start)[:, None],
-        tail_inc - head_exc,
-        (block_totals[b_start] - head_exc) + tail_inc,
-    )
-    return jnp.where((stop > start)[:, None], acc, 0.0)
+    outs = []
+    for col in cols:
+        if pad:
+            col = jnp.pad(col, (0, pad))
+        within = jnp.cumsum(col.reshape(num_blocks, block), axis=1)
+        block_totals = within[:, -1]            # (num_blocks,) exact sums
+        within_flat = within.reshape(-1)
+        # sum of the start block's rows BEFORE `start` (0 at a boundary)
+        head_exc = jnp.where(head_valid, within_flat[idx_head], 0.0)
+        # sum of the last block's rows THROUGH `last`
+        tail_inc = within_flat[idx_tail]
+        acc = jnp.where(
+            same_block,
+            tail_inc - head_exc,
+            (block_totals[b_start] - head_exc) + tail_inc,
+        )
+        outs.append(jnp.where(nonempty, acc, 0.0))
+    return jnp.stack(outs, axis=-1)
 
 
 def distortion_sum(weights, buf, valid):
@@ -185,31 +197,29 @@ def composite(
     visible = valid & (trans > early_stop_eps) & (alpha > 0.0)
     weights = jnp.where(visible, alpha * trans, 0.0)
 
-    # ONE (K, C + 2) payload for all three accumulations — w*radiance, w,
-    # and w*t_mid share their segment boundaries.  The accumulation dtype
-    # is pinned to the weights' (f32) so a lower-precision radiance (e.g.
-    # bf16 field output) never silently demotes the accumulators.
+    # The C + 2 accumulated quantities — per-channel w*radiance, w, and
+    # w*t_mid — share their segment boundaries and are carried as 1-D (K,)
+    # columns (never a (K, C+2) payload: narrow 2-D K-row arrays tile-pad
+    # 128/C x, see _segment_sums).  The accumulation dtype is pinned to
+    # the weights' (f32) so a lower-precision radiance (e.g. bf16 field
+    # output) never silently demotes the accumulators.
     n_chan = radiance.shape[-1]
     acc_dtype = weights.dtype
-    payload = jnp.concatenate(
-        [
-            weights[:, None] * radiance.astype(acc_dtype),
-            weights[:, None],
-            (weights * buf["t_mid"])[:, None],
-        ],
-        axis=-1,
-    )
+    cols = tuple(
+        weights * radiance[:, c].astype(acc_dtype) for c in range(n_chan)
+    ) + (weights, weights * buf["t_mid"])
     if accumulate == "cumsum":
         # contiguous-segment sums: blocked cumsum + 2 boundary gathers per
         # ray (see module docstring); block covers the per-ray sample cap
         block = segment_block_size(max_samples_per_ray)
         acc = _segment_sums(
-            payload, buf["ray_first"], buf["counts"], block
+            cols, buf["ray_first"], buf["counts"], block
         )
         if acc.shape[0] != num_rays:  # ray_first/counts padded past B
             acc = acc[:num_rays]
     else:
         assert accumulate == "scatter"
+        payload = jnp.stack(cols, axis=-1)
         acc = jnp.zeros((num_rays, n_chan + 2), payload.dtype).at[
             buf["ray_idx"]
         ].add(payload)
