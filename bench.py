@@ -55,10 +55,10 @@ CONFIGS = (
 # when their checkpoint is absent.
 STEADY_LEVERS = {"visible_compact": True, "sample_bucket_levels": 4}
 STEADY_CONFIGS = (
-    # (arch, budget_log2, warmup, bench_steps, ckpt_relpath)
+    # (arch, budget_log2, warmup, bench_steps, ckpt_path_or_glob)
     ("tensorf", 20, 10, 20,
-     "logs/train/tpu-sphere-full/version_0/checkpoints/"
-     "epoch=39-step=40000.npz"),
+     os.environ.get("REN_BENCH_TENSORF_CKPT",
+                    "logs/train/tensorf-steady.npz")),
     ("ngp", 20, 5, 8,
      os.environ.get("REN_BENCH_NGP_CKPT",
                     "logs/train/ngp-64-best.npz")),
