@@ -65,6 +65,40 @@ STEADY_CONFIGS = (
 )
 
 
+def discover_steady_ckpt(arch, here):
+    """Fall back to the best checkpoint a quality run left behind.
+
+    Trainer.save_checkpoint persists a `best.json` ranking next to its
+    checkpoints (the file counterpart of Lightning's
+    ModelCheckpoint.best_model_path); pick the best-scoring one across
+    the arch's quality-run log dirs so the steady bench tracks whatever
+    training evidence exists on this machine.
+    """
+    import glob
+
+    pats = {
+        "tensorf": "logs/train/tensorf*/version_*/checkpoints/best.json",
+        "ngp": "logs/train/ngp*/version_*/checkpoints/best.json",
+    }
+    best_path, best_score = None, None
+    for meta_path in glob.glob(os.path.join(here, pats[arch])):
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        path = meta.get("best_model_path")
+        if not path or not os.path.isfile(path):
+            continue
+        scores = [r["score"] for r in meta.get("records", [])
+                  if r.get("path") == path and r.get("score") is not None]
+        score = scores[0] if scores else float("-inf")
+        sign = -1.0 if meta.get("mode") == "min" else 1.0
+        if best_score is None or sign * score > best_score:
+            best_score, best_path = sign * score, path
+    return best_path
+
+
 def bench_one(arch, budget_log2, warmup, bench_steps,
               ckpt=None, levers=None):
     import jax
@@ -183,6 +217,8 @@ def main():
             continue
         path = ckpt if os.path.isabs(ckpt) else os.path.join(here, ckpt)
         if not os.path.isfile(path):
+            path = discover_steady_ckpt(arch, here)
+        if not path:
             continue
         try:
             grid[tag] = bench_one(arch, budget_log2, warmup, steps,

@@ -665,6 +665,23 @@ class Trainer:
         else:
             self.best_model_path = self._ckpt_records[-1][1] \
                 if self._ckpt_records else None
+        # persist the ranking so post-hoc tooling (`run.py test` from the
+        # best model, bench.py steady entries) can find the best checkpoint
+        # without the live Trainer — the file counterpart of Lightning's
+        # ModelCheckpoint.best_model_path attribute
+        try:
+            with open(os.path.join(folder, "best.json"), "w") as f:
+                json.dump({
+                    "monitor": self.ckpt_monitor,
+                    "mode": self.ckpt_mode,
+                    "best_model_path": self.best_model_path,
+                    "records": [
+                        {"score": s, "path": p}
+                        for s, p in self._ckpt_records
+                    ],
+                }, f, indent=1)
+        except OSError:
+            pass
         return path if any(p == path for _, p in self._ckpt_records) \
             else None
 

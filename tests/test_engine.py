@@ -435,6 +435,23 @@ def test_checkpoint_monitor_top_k(trained, tmp_path_factory):
         # a missing monitor metric skips the save with a warning
         trained.global_step += 1
         assert trained.save_checkpoint({"val/l1": 0.5}) is None
+        # the best.json sidecar (ModelCheckpoint.best_model_path file
+        # counterpart) tracks the live ranking for post-hoc tooling
+        import json as _json
+        with open(os.path.join(str(tmp), "best.json")) as f:
+            meta = _json.load(f)
+        assert meta["best_model_path"] == p2
+        assert meta["monitor"] == "val/psnr" and meta["mode"] == "max"
+        assert [r["score"] for r in meta["records"]] == [12.0]
+        # bench.py's steady-checkpoint discovery reads the sidecar
+        import bench
+        fake = tmp / "logs" / "train" / "ngp-64-ref" / "version_0" \
+            / "checkpoints"
+        fake.mkdir(parents=True)
+        with open(fake / "best.json", "w") as f:
+            _json.dump(meta, f)
+        assert bench.discover_steady_ckpt("ngp", str(tmp)) == p2
+        assert bench.discover_steady_ckpt("tensorf", str(tmp)) is None
     finally:
         (trained.ckpt_monitor, trained.ckpt_mode, trained.ckpt_save_top_k,
          trained.ckpt_dirpath, trained._ckpt_records, trained.global_step,
