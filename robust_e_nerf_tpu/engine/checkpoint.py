@@ -50,8 +50,41 @@ def save_checkpoint(path, params, opt_state, occ_state, step, batch_size,
     )
 
 
+def resolve_checkpoint_path(path):
+    """Resolve `model.checkpoint_filepath` conveniences, the counterpart of
+    Lightning's `ckpt_path="best"` (trainer.test(ckpt_path=...)):
+
+    - a `best.json` sidecar (written by Trainer.save_checkpoint) resolves
+      to its recorded `best_model_path`;
+    - a directory resolves through `<dir>/best.json` or
+      `<dir>/checkpoints/best.json`;
+    - anything else (a concrete .npz) passes through unchanged.
+    """
+    path = os.fspath(path)
+    if os.path.isdir(path):
+        for cand in (os.path.join(path, "best.json"),
+                     os.path.join(path, "checkpoints", "best.json")):
+            if os.path.isfile(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(
+                f"no best.json under checkpoint directory {path!r}")
+    if os.path.basename(path) == "best.json":
+        with open(path) as f:
+            best = json.load(f).get("best_model_path")
+        if not best:
+            raise FileNotFoundError(f"{path!r} records no best_model_path")
+        if not os.path.isabs(best) and not os.path.isfile(best):
+            # stored repo-relative but cwd moved: try relative to the sidecar
+            rel = os.path.join(os.path.dirname(path), os.path.basename(best))
+            best = rel if os.path.isfile(rel) else best
+        return best
+    return path
+
+
 def load_checkpoint_flat(path):
-    with np.load(path, allow_pickle=False) as data:
+    with np.load(resolve_checkpoint_path(path), allow_pickle=False) as data:
         return {k: data[k] for k in data.files}
 
 

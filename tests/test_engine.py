@@ -143,6 +143,36 @@ def test_eval_metrics_finite(trained):
     assert -1 <= metrics["val/ssim"] <= 1
 
 
+def test_resolve_checkpoint_path(tmp_path):
+    """`model.checkpoint_filepath` accepts a best.json sidecar or a log
+    directory and resolves to the recorded best model — the counterpart of
+    Lightning's `ckpt_path="best"` (run.py:72-77)."""
+    import json as _json
+
+    ckdir = tmp_path / "checkpoints"
+    ckdir.mkdir()
+    best = ckdir / "epoch=1-step=200.npz"
+    np.savez(best, dummy=np.zeros(1))
+    with open(ckdir / "best.json", "w") as f:
+        _json.dump({"monitor": "val/psnr", "mode": "max",
+                    "best_model_path": str(best),
+                    "records": [{"score": 17.0, "path": str(best)}]}, f)
+    # a concrete .npz passes through unchanged
+    assert ckpt_mod.resolve_checkpoint_path(str(best)) == str(best)
+    # the sidecar itself resolves
+    assert ckpt_mod.resolve_checkpoint_path(
+        str(ckdir / "best.json")) == str(best)
+    # a directory resolves via <dir>/best.json or <dir>/checkpoints/best.json
+    assert ckpt_mod.resolve_checkpoint_path(str(ckdir)) == str(best)
+    assert ckpt_mod.resolve_checkpoint_path(str(tmp_path)) == str(best)
+    # and load_checkpoint_flat accepts every spelling
+    assert "dummy" in ckpt_mod.load_checkpoint_flat(str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        ckpt_mod.resolve_checkpoint_path(str(empty))
+
+
 def test_checkpoint_roundtrip(trained, tmp_path):
     path = trained.save_checkpoint()
     assert os.path.isfile(path)
