@@ -869,7 +869,8 @@ def test_monitor_checkpoint_saves_only_on_val_epochs(dataset,
     }
     trainer = Trainer(cfg)
     trainer.fit()
-    names = sorted(os.listdir(str(tmp / "ckpts")))
+    names = sorted(n for n in os.listdir(str(tmp / "ckpts"))
+                   if n.endswith(".npz"))  # best.json ranking sits alongside
     # epoch 1 had no validation -> no checkpoint; epoch 2 validated
     assert names == ["epoch=1-step=4.npz"]
 
