@@ -31,7 +31,53 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DATASET = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "datasets", "sphere")
+# `vs_baseline` denominator: round 1's driver-recorded self-measurement
+# (BENCH_r01.json, tensorf @ 2^18).  It is a SELF-ratio — the reference
+# repo publishes no numbers (BASELINE.md) and no A100 is reachable here —
+# so the emitted JSON labels it `baseline.kind = "round1_self"`.
 ROUND1_SAMPLES_PER_SEC = 756460.1  # BENCH_r01.json
+
+
+# Random-access roofline (docs/PERFORMANCE.md "Roofline" section): the
+# training step is bound by random row traffic, priced per row almost
+# independently of width.  The floor below is the measured per-row cost
+# times the per-arch row counts, the honest single-chip MFU analog for a
+# gather/scatter-bound workload (MXU FLOPs are ~free at these sizes).
+GATHER_NS_PER_ROW = 7.0
+SCATTER_NS_PER_ROW = 55.0
+SCATTER1D_NS_PER_ELEM = 9.0  # per-feature 1-D scatter-add (hash grid)
+MXU_MS_PER_RENDER = 7.5      # MLP/SH/line matmuls, ~15 ms per step
+
+
+def roofline_floor_ms(arch, renders_per_step, batch, marched_per_ray):
+    """Lower-bound step time (ms) from the random-row cost model.
+
+    tensorf (quad-packed VM grid, ops/vm_grid.py): 3 plane rows + 3 line
+    rows gathered per sample forward; plane gradient is a 3-row
+    scatter-add per sample (lines are matmuls).  ngp (ops/hash_grid.py):
+    5 packed dense rows + 88 hashed corner rows gathered per sample; the
+    table gradient is 2 feats x 8 corners x 11 hashed levels = 176
+    1-D scattered elements per sample plus dense slice-adds (~free).
+    Both pay the march's occupancy probes (~2 probe rows per marched
+    sample after bucketing, docs/PERFORMANCE.md round-2 #1).
+    """
+    samples = float(batch) * float(marched_per_ray)  # per render
+    march_probe_rows = 2.0 * samples
+    if arch == "tensorf":
+        # docs/PERFORMANCE.md roofline table: 1 plane row gathered and 1
+        # plane gradient row scattered per sample (lines ride the MXU)
+        gather_rows = 1.0 * samples
+        scatter_ns = 1.0 * samples * SCATTER_NS_PER_ROW
+    elif arch == "ngp":
+        gather_rows = 93.0 * samples
+        scatter_ns = 176.0 * samples * SCATTER1D_NS_PER_ELEM
+    else:  # mlp: no table traffic; MXU/HBM-bound
+        gather_rows = 0.0
+        scatter_ns = 0.0
+    per_render_ns = (
+        (gather_rows + march_probe_rows) * GATHER_NS_PER_ROW + scatter_ns
+    )
+    return renders_per_step * (per_render_ns / 1e6 + MXU_MS_PER_RENDER)
 
 CONFIGS = (
     # (arch, budget_log2, warmup, bench_steps)
@@ -77,11 +123,15 @@ def discover_steady_ckpt(arch, here):
     import glob
 
     pats = {
-        "tensorf": "logs/train/tensorf*/version_*/checkpoints/best.json",
-        "ngp": "logs/train/ngp*/version_*/checkpoints/best.json",
+        "tensorf": ("logs/train/tensorf*/version_*/checkpoints/best.json",
+                    "logs/train/tpu-sphere-full/version_*/checkpoints/"
+                    "best.json"),
+        "ngp": ("logs/train/ngp*/version_*/checkpoints/best.json",),
     }
     best_path, best_score = None, None
-    for meta_path in glob.glob(os.path.join(here, pats[arch])):
+    candidates = [p for pat in pats[arch]
+                  for p in glob.glob(os.path.join(here, pat))]
+    for meta_path in candidates:
         try:
             with open(meta_path) as f:
                 meta = json.load(f)
@@ -168,7 +218,14 @@ def bench_one(arch, budget_log2, warmup, bench_steps,
     rays_per_sec = steps_per_sec * batch_size * renders_per_step
     rays_per_sec /= trainer.num_chips
     samples_per_sec = rays_per_sec * mean_samples
+    floor_ms = roofline_floor_ms(arch, renders_per_step, batch_size,
+                                 marched)
     return {
+        "roofline_floor_ms": round(floor_ms, 1),
+        # fraction of the random-access speed-of-light this config runs
+        # at (1.0 = at the floor); the honest MFU analog here
+        "roofline_fraction": round(floor_ms * steps_per_sec / 1000.0, 3),
+        **{
         "steps_per_sec": round(steps_per_sec, 3),
         "ms_per_step": round(1000.0 / steps_per_sec, 1),
         "rays_per_sec_per_chip": round(rays_per_sec, 1),
@@ -181,6 +238,7 @@ def bench_one(arch, budget_log2, warmup, bench_steps,
         "mean_samples_per_ray": round(mean_samples, 1),
         "num_chips": trainer.num_chips,
         "loss": float(jax.device_get(loss)),
+        },
     }
 
 
@@ -241,6 +299,15 @@ def main():
         "vs_baseline": round(value / ROUND1_SAMPLES_PER_SEC, 3),
         "extra": {
             "primary_config": "tensorf@2^20 (reference budget)",
+            "baseline": {
+                "kind": "round1_self",
+                "value": ROUND1_SAMPLES_PER_SEC,
+                "note": "vs_baseline divides by round 1's self-measured "
+                        "tensorf@2^18 rate (BENCH_r01.json); the reference "
+                        "repo publishes no numbers and no A100 is "
+                        "reachable here (BASELINE.md)",
+            },
+            "roofline_fraction": primary.get("roofline_fraction"),
             "device": str(jax.devices()[0]),
             "grid": grid,
         },

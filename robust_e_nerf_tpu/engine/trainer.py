@@ -128,6 +128,27 @@ class Trainer:
         self.check_val_every_n_epoch = int(
             trainer_cfg.get("check_val_every_n_epoch", 1)
         )
+        # val_check_interval (run.py:88-97 plumbs it into pl.Trainer):
+        # a float is the fraction of an epoch between validation runs, an
+        # int is a fixed number of train batches — Lightning validates
+        # after every `int(limit_train_batches * interval)` batches, so
+        # 1.0 (every reference config) degenerates to end-of-epoch only.
+        vci = trainer_cfg.get("val_check_interval")
+        vci = 1.0 if vci is None else vci
+        if isinstance(vci, int) and not isinstance(vci, bool):
+            self.val_every_n_steps = int(vci)
+        else:
+            vci = float(vci)
+            assert 0.0 < vci <= 1.0, (
+                f"val_check_interval must be an int (batches) or a float "
+                f"in (0, 1], got {vci!r}"
+            )
+            self.val_every_n_steps = max(1, int(steps_per_epoch * vci))
+        # flush_logs_every_n_steps: TensorBoard writer flush cadence
+        self.flush_logs_every_n_steps = int(
+            trainer_cfg.get("flush_logs_every_n_steps", 100)
+        )
+        self._last_flush_step = 0
 
         self.optimizer, self.opt_labels = opt_mod.build_optimizer(
             config, self.model.params, self.model.max_refractory_period_s,
@@ -330,7 +351,10 @@ class Trainer:
         t_start = time.time()
         self._register_hp_metrics()
         while self.current_epoch < self.max_epochs:
-            for _ in range(self.steps_per_epoch):
+            epoch_validates = (
+                (self.current_epoch + 1) % self.check_val_every_n_epoch == 0
+            )
+            for batch_idx in range(self.steps_per_epoch):
                 self.maybe_update_occ_grid()
                 (
                     self.params, self.opt_state, self.ctrl, loss, aux
@@ -341,10 +365,35 @@ class Trainer:
                 if self.global_step % self.log_every_n_steps == 0:
                     self.log_training_scalars(aux, t_start)
                 self.global_step += 1
+                # mid-epoch validation (val_check_interval < 1.0 or int):
+                # the end-of-epoch boundary is handled below so it also
+                # runs when steps_per_epoch is not a multiple
+                if (
+                    epoch_validates
+                    and batch_idx + 1 < self.steps_per_epoch
+                    and (batch_idx + 1) % self.val_every_n_steps == 0
+                ):
+                    self._check_finite(jax.device_get(self.ctrl))
+                    metrics = self.run_evaluation("val")
+                    self._last_val_metrics = metrics
+                    print(
+                        f"epoch {self.current_epoch} "
+                        f"step {self.global_step} "
+                        + " ".join(
+                            f"{k}={v:.4f}" for k, v in metrics.items()
+                            if v is not None
+                        ),
+                        flush=True,
+                    )
+                    if self.checkpoint_enabled and (
+                        self.ckpt_monitor is not None
+                    ):
+                        self.save_checkpoint(metrics,
+                                             epoch=self.current_epoch)
 
             self._check_finite(jax.device_get(self.ctrl))
             self.current_epoch += 1
-            val_ran = self.current_epoch % self.check_val_every_n_epoch == 0
+            val_ran = epoch_validates
             if val_ran:
                 metrics = self.run_evaluation("val")
                 self._last_val_metrics = metrics
@@ -447,6 +496,14 @@ class Trainer:
         })
         self.log_scalar("train/occ_grid_occupied_frac", occ["frac"])
         self.log_scalar("train/occ_grid_mean", occ["mean"])
+        # flush_logs_every_n_steps (run.py:88-97): bound how stale the
+        # on-disk event file can get during long epochs
+        if (
+            self.global_step - self._last_flush_step
+            >= self.flush_logs_every_n_steps
+        ):
+            self.writer.flush()
+            self._last_flush_step = self.global_step
 
     # ------------------------------------------------------------------
     # evaluation (robust_e_nerf.py:519-780)
@@ -576,7 +633,7 @@ class Trainer:
             return score > reference
         return score < reference
 
-    def save_checkpoint(self, metrics=None):
+    def save_checkpoint(self, metrics=None, epoch=None):
         """Save a checkpoint honoring the `checkpoint:` config block
         (ModelCheckpoint semantics, run.py:66-70).
 
@@ -585,7 +642,13 @@ class Trainer:
         (the rest are deleted), so e.g. `monitor: val/psnr, mode: max`
         retains the peak-quality model instead of the last one.  Without a
         monitor, the latest `save_top_k` checkpoints are kept.
+
+        `epoch` labels the checkpoint filename; it defaults to the just-
+        finished epoch (`current_epoch - 1`, the end-of-epoch call site) —
+        mid-epoch validation passes the in-progress epoch explicitly.
         """
+        if epoch is None:
+            epoch = self.current_epoch - 1
         if not self.is_main_process:
             return None
         if self.ckpt_save_top_k == 0:
@@ -628,7 +691,7 @@ class Trainer:
         )
         path = os.path.join(
             folder,
-            f"epoch={self.current_epoch - 1}-step={self.global_step}.npz",
+            f"epoch={epoch}-step={self.global_step}.npz",
         )
         # full hyperparameters, like Lightning's save_hyperparameters
         # (robust_e_nerf.py:162-173, datamodule.py:56-60): the entire run

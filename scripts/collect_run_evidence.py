@@ -26,8 +26,12 @@ import json
 import os
 import re
 import shutil
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from robust_e_nerf_tpu.engine.checkpoint import resolve_checkpoint_path  # noqa: E402
 
 VAL_LINE = re.compile(r"^epoch \d+ val/")
 
@@ -49,14 +53,28 @@ def main():
         for line in f:
             if VAL_LINE.match(line):
                 lines.append(line.rstrip("\n"))
-    # keep the LAST occurrence per epoch (babysitter restarts re-validate)
+    if not lines:
+        print(f"WARNING: no `epoch N val/...` lines in {args.stdout_log} "
+              "- wrong log file, or the run has not validated yet",
+              file=sys.stderr)
+    # merge with previously collected epochs: after a machine recreation
+    # or log rotation, a resumed run's stdout log only contains LATER
+    # epochs, and rebuilding from it alone would drop committed history
     by_epoch = {}
+    if os.path.isfile(traj_path):
+        with open(traj_path) as f:
+            for ln in f:
+                ln = ln.rstrip("\n")
+                if VAL_LINE.match(ln):
+                    by_epoch[int(ln.split()[1])] = ln
+    # keep the LAST occurrence per epoch (babysitter restarts re-validate)
     for ln in lines:
         by_epoch[int(ln.split()[1])] = ln
     with open(traj_path, "w") as f:
         for ep in sorted(by_epoch):
             f.write(by_epoch[ep] + "\n")
-    print(f"wrote {len(by_epoch)} epochs -> {traj_path}")
+    print(f"wrote {len(by_epoch)} epochs ({len(lines)} val lines in log) "
+          f"-> {traj_path}")
 
     best_meta = os.path.join(args.run_log_dir, "checkpoints", "best.json")
     if not os.path.isfile(best_meta):
@@ -65,8 +83,15 @@ def main():
     with open(best_meta) as f:
         meta = json.load(f)
     src = meta.get("best_model_path")
+    if src and not os.path.isfile(src):
+        # best_model_path may be stored cwd-relative; resolve it the same
+        # way the trainer does (retry next to the sidecar)
+        try:
+            src = resolve_checkpoint_path(best_meta)
+        except FileNotFoundError:
+            pass
     if not src or not os.path.isfile(src):
-        print(f"best_model_path missing in {best_meta}")
+        print(f"best_model_path unresolvable in {best_meta}")
         return
     dest = args.dest or os.path.join("logs", "train",
                                      f"{args.tag}-best.npz")
@@ -74,7 +99,7 @@ def main():
     os.makedirs(os.path.dirname(dest), exist_ok=True)
     shutil.copyfile(src, dest)
     score = [r.get("score") for r in meta.get("records", [])
-             if r.get("path") == src]
+             if os.path.basename(r.get("path", "")) == os.path.basename(src)]
     print(f"copied best ({meta.get('monitor')}={score[0] if score else '?'}"
           f") {src} -> {dest} "
           f"({os.path.getsize(dest) / 1e6:.1f} MB)")

@@ -904,3 +904,102 @@ def test_hparams_mismatch_covers_lr_scheduler(trained, tmp_path_factory):
         assert any("milestones" in k for k in keys), keys
     finally:
         trained.config = saved_cfg
+
+
+def test_val_check_interval_mid_epoch(dataset, tmp_path_factory):
+    """trainer.val_check_interval < 1.0 validates mid-epoch: a 0.5
+    interval over a 4-batch epoch validates after batches 2 and 4
+    (run.py:88-97 plumbs the key into pl.Trainer; every reference config
+    uses 1.0 = end-of-epoch only).  Mid-epoch validations feed the
+    monitor checkpoint with the in-progress epoch label."""
+    tmp = tmp_path_factory.mktemp("vci")
+    cfg = tiny_config(
+        dataset, tmp,
+        **{"trainer.max_epochs": 1,
+           "trainer.limit_train_batches": 4,
+           "trainer.val_check_interval": 0.5},
+    )
+    cfg["checkpoint"] = {
+        "monitor": "val/psnr", "mode": "max", "save_top_k": -1,
+        "every_n_epochs": 1, "dirpath": str(tmp / "ckpts"),
+    }
+    trainer = Trainer(cfg)
+    assert trainer.val_every_n_steps == 2
+    calls = []
+    fake_scores = iter([11.0, 12.0])
+
+    def fake_eval(stage_name, save_predictions=None):
+        calls.append((trainer.current_epoch, trainer.global_step))
+        return {"val/psnr": next(fake_scores)}
+
+    trainer.run_evaluation = fake_eval
+    trainer.fit()
+    # one mid-epoch validation at step 2, one at epoch end (step 4)
+    assert calls == [(0, 2), (1, 4)]
+    names = sorted(n for n in os.listdir(str(tmp / "ckpts"))
+                   if n.endswith(".npz"))
+    assert names == ["epoch=0-step=2.npz", "epoch=0-step=4.npz"]
+
+
+def test_val_check_interval_int_is_batches(dataset, tmp_path_factory):
+    """An int val_check_interval is a fixed batch cadence (Lightning
+    semantics), independent of epoch length."""
+    tmp = tmp_path_factory.mktemp("vci_int")
+    cfg = tiny_config(
+        dataset, tmp,
+        **{"trainer.max_epochs": 1,
+           "trainer.limit_train_batches": 5,
+           "trainer.val_check_interval": 2},
+    )
+    trainer = Trainer(cfg)
+    assert trainer.val_every_n_steps == 2
+    calls = []
+    trainer.run_evaluation = (
+        lambda stage, save_predictions=None:
+        calls.append(trainer.global_step) or {"val/psnr": 1.0}
+    )
+    trainer.fit()
+    # mid-epoch at batches 2 and 4, then the end-of-epoch validation
+    assert calls == [2, 4, 5]
+
+
+def test_flush_logs_every_n_steps(dataset, tmp_path_factory):
+    """trainer.flush_logs_every_n_steps maps to the TensorBoard writer's
+    flush cadence (run.py:88-97): with flush=2 and log_every=1, the
+    writer flushes roughly every other step."""
+    tmp = tmp_path_factory.mktemp("flush")
+    cfg = tiny_config(
+        dataset, tmp,
+        **{"trainer.max_epochs": 1,
+           "trainer.limit_train_batches": 5,
+           "trainer.log_every_n_steps": 1,
+           "trainer.flush_logs_every_n_steps": 2},
+    )
+    trainer = Trainer(cfg)
+    assert trainer.flush_logs_every_n_steps == 2
+
+    class CountingWriter:
+        def __init__(self):
+            self.flushes = 0
+
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_image(self, *a, **k):
+            pass
+
+        def add_hparams(self, *a, **k):
+            pass
+
+        def flush(self):
+            self.flushes += 1
+
+    writer = CountingWriter()
+    trainer._writer = writer
+    trainer.run_evaluation = (
+        lambda stage, save_predictions=None: {"val/psnr": 1.0}
+    )
+    trainer.fit()
+    # steps 2 and 4 cross the 2-step flush threshold; the final fit()
+    # flush adds one more
+    assert writer.flushes >= 3
