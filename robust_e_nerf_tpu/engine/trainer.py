@@ -224,6 +224,11 @@ class Trainer:
         )
         every_n = ckpt_cfg.get("every_n_epochs")
         self.ckpt_every_n_epochs = 1 if every_n is None else int(every_n)
+        # save_last mirrors ModelCheckpoint(save_last=True): an
+        # always-current `last.npz` written at every save cadence,
+        # independent of the monitor ranking — the resume anchor for
+        # watchdog restarts when the monitored metric peaked early
+        self.ckpt_save_last = bool(ckpt_cfg.get("save_last") or False)
         # (score-or-None, path) per kept checkpoint, in save order
         self._ckpt_records = []
         self._last_val_metrics = None
@@ -651,8 +656,6 @@ class Trainer:
             epoch = self.current_epoch - 1
         if not self.is_main_process:
             return None
-        if self.ckpt_save_top_k == 0:
-            return None
         # every_n_epochs == 0 disables epoch-cadence saving entirely
         # (Lightning's ModelCheckpoint semantics)
         if self.ckpt_every_n_epochs == 0:
@@ -661,6 +664,33 @@ class Trainer:
             self.current_epoch > 0
             and self.current_epoch % self.ckpt_every_n_epochs != 0
         ):
+            return None
+        folder = self.ckpt_dirpath or os.path.join(
+            self.log_dir, "checkpoints"
+        )
+        # full hyperparameters, like Lightning's save_hyperparameters
+        # (robust_e_nerf.py:162-173, datamodule.py:56-60): the entire run
+        # config plus the resolved seed
+        hparams = json.loads(json.dumps(
+            {"seed": self.seed, "config": self.config}, default=str
+        ))
+
+        def _write(p):
+            ckpt_mod.save_checkpoint(
+                p, jax.device_get(self.params),
+                None if self.ckpt_save_weights_only
+                else jax.device_get(self.opt_state),
+                jax.device_get(self.occ_state), self.global_step,
+                int(jax.device_get(self.ctrl)["batch_size"]),
+                hparams=hparams,
+            )
+
+        # `last.npz` is written before any monitor-based skip: like
+        # Lightning's save_last, it tracks the newest state even when the
+        # monitored metric stopped improving (or save_top_k == 0)
+        if self.ckpt_save_last:
+            _write(os.path.join(folder, "last.npz"))
+        if self.ckpt_save_top_k == 0:
             return None
         score = None
         if self.ckpt_monitor is not None:
@@ -686,27 +716,11 @@ class Trainer:
                     worst = max(self._ckpt_records, key=lambda r: r[0])
                 if not self._is_better(score, worst[0]):
                     return None
-        folder = self.ckpt_dirpath or os.path.join(
-            self.log_dir, "checkpoints"
-        )
         path = os.path.join(
             folder,
             f"epoch={epoch}-step={self.global_step}.npz",
         )
-        # full hyperparameters, like Lightning's save_hyperparameters
-        # (robust_e_nerf.py:162-173, datamodule.py:56-60): the entire run
-        # config plus the resolved seed
-        hparams = json.loads(json.dumps(
-            {"seed": self.seed, "config": self.config}, default=str
-        ))
-        ckpt_mod.save_checkpoint(
-            path, jax.device_get(self.params),
-            None if self.ckpt_save_weights_only
-            else jax.device_get(self.opt_state),
-            jax.device_get(self.occ_state), self.global_step,
-            int(jax.device_get(self.ctrl)["batch_size"]),
-            hparams=hparams,
-        )
+        _write(path)
         self._ckpt_records.append((score, path))
         if (
             self.ckpt_save_top_k > 0

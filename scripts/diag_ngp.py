@@ -48,6 +48,16 @@ def main():
         )
     if "REN_DIAG_LR" in os.environ:
         cfg["optimizer"]["lr"]["default"] = float(os.environ["REN_DIAG_LR"])
+    if "REN_DIAG_DIFF_FN" in os.environ:
+        # l_diff error-fn experiments (loss.py:26-30 surface {l1,mse,mape}):
+        # mse's gradient scales with (pred_diff - target), which early in
+        # training coherently prefers pred_diff == 0 (variance reduction)
+        # and can crush a smooth-basis field's density to zero; l1's
+        # sign-based gradient is incoherent while predictions are
+        # uncorrelated with targets
+        cfg["loss"]["error_fn"]["log_intensity_diff"] = (
+            os.environ["REN_DIAG_DIFF_FN"]
+        )
     if "REN_DIAG_SREG" in os.environ:
         cfg["loss"]["weight"]["density_sparsity"] = float(
             os.environ["REN_DIAG_SREG"]

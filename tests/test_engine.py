@@ -488,6 +488,51 @@ def test_checkpoint_monitor_top_k(trained, tmp_path_factory):
          trained.best_model_path) = saved
 
 
+def test_checkpoint_save_last(trained, tmp_path_factory):
+    """checkpoint.save_last (ModelCheckpoint(save_last=True), any kwarg of
+    the `checkpoint:` block is reference surface via run.py:66-70): a
+    `last.npz` tracking the newest state is written at every save cadence,
+    even when the monitored metric stopped improving or save_top_k == 0 —
+    the resume anchor for watchdog restarts."""
+    tmp = tmp_path_factory.mktemp("ckpt_save_last")
+    saved = (
+        trained.ckpt_monitor, trained.ckpt_mode, trained.ckpt_save_top_k,
+        trained.ckpt_save_last, trained.ckpt_dirpath,
+        trained._ckpt_records, trained.global_step,
+        trained.best_model_path,
+    )
+    try:
+        trained.ckpt_monitor = "val/psnr"
+        trained.ckpt_mode = "max"
+        trained.ckpt_save_top_k = 1
+        trained.ckpt_save_last = True
+        trained.ckpt_dirpath = str(tmp)
+        trained._ckpt_records = []
+        last = os.path.join(str(tmp), "last.npz")
+        p1 = trained.save_checkpoint({"val/psnr": 12.0})
+        assert p1 is not None and os.path.isfile(last)
+        step1 = ckpt_mod.load_checkpoint_flat(last)["step"]
+        # a WORSE epoch skips the ranked save but still refreshes last
+        trained.global_step += 7
+        assert trained.save_checkpoint({"val/psnr": 10.0}) is None
+        flat = ckpt_mod.load_checkpoint_flat(last)
+        assert int(flat["step"]) == int(step1) + 7
+        assert os.path.isfile(p1)  # ranked best untouched
+        assert trained.best_model_path == p1
+        # save_top_k == 0 disables ranked saves but not last
+        trained.ckpt_save_top_k = 0
+        trained.global_step += 1
+        assert trained.save_checkpoint({"val/psnr": 99.0}) is None
+        assert int(
+            ckpt_mod.load_checkpoint_flat(last)["step"]
+        ) == int(step1) + 8
+    finally:
+        (trained.ckpt_monitor, trained.ckpt_mode, trained.ckpt_save_top_k,
+         trained.ckpt_save_last, trained.ckpt_dirpath,
+         trained._ckpt_records, trained.global_step,
+         trained.best_model_path) = saved
+
+
 def test_checkpoint_top_k_latest_without_monitor(trained, tmp_path_factory):
     """Without a monitor, save_top_k keeps the LATEST k checkpoints."""
     tmp = tmp_path_factory.mktemp("ckpt_latest")
