@@ -57,7 +57,9 @@ def main():
                                    "tpu-sphere.yaml"))
     cfg["data"]["dataset_directory"] = DATASET
     cfg["data"]["train_eff_ray_sample_batch_size"] = 1 << budget_log2
-    cfg["data"]["train_ray_batch_capacity"] = 8192
+    cfg["data"]["train_ray_batch_capacity"] = int(
+        os.environ.get("REN_PROF_CAP", 8192)
+    )
     cfg["model"]["nerf"]["arch"] = arch
     if os.environ.get("REN_PROF_BF16"):
         cfg["model"]["nerf"]["ngp"]["pos_encoding"]["table_read_dtype"] = (
@@ -124,6 +126,24 @@ def main():
 
     t_march = timeit(march, origins, dirs, valid, occ)
 
+    # the visible-compact pre-pass (models/nerf.py:_compact_visible), when
+    # the lever is on: a stop-gradient density forward + the visibility
+    # scatter-compaction, the per-render overhead the steady-regime A/B
+    # must attribute (VERDICT r3 weak #2)
+    t_vis = None
+    vis_total = None
+    if nerf_mod._visible_compact_enabled(spec.nerf):
+        viscompact = jax.jit(
+            lambda p, b, o, d: nerf_mod._compact_visible(
+                p, b, o, d, aabb, spec.nerf, march_spec
+            )
+        )
+        buf_vis = viscompact(nerf_params, buf, origins, dirs)
+        vis_total = int(buf_vis["total"])
+        print(f"visible total={vis_total} "
+              f"({100.0 * vis_total / max(total, 1):.1f}% of marched)")
+        t_vis = timeit(viscompact, nerf_params, buf, origins, dirs)
+
     positions, pdirs = ray_march.sample_positions(buf, origins, dirs)
 
     field = jax.jit(lambda p, x, d: fields.field_apply(
@@ -163,6 +183,9 @@ def main():
     t_fbwd = timeit(fbwd, nerf_params, positions, pdirs)
 
     print(f"march_fwd   {t_march:8.1f} ms")
+    if t_vis is not None:
+        print(f"viscompact  {t_vis:8.1f} ms  (density pre-pass + "
+              f"compaction; visible={vis_total})")
     print(f"field_fwd   {t_field:8.1f} ms")
     print(f"field_f+b   {t_fbwd:8.1f} ms")
     print(f"render_fwd  {t_render:8.1f} ms")
