@@ -1,5 +1,6 @@
 """Vanilla NeRF MLP field (`nerf.arch: mlp`) — structure + behaviour."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,3 +93,67 @@ def test_gradients_flow(rng):
     flat = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
     assert any(np.any(np.asarray(g) != 0) for g in flat)
+
+
+def test_mlp_density_survives_with_l1_diff_loss(tmp_path_factory):
+    """Round-4 finding (docs/diagnostics/r4_mlp_*.log): with the default
+    mse diff error the early variance-reduction gradient coherently
+    crushes the vanilla MLP's density to zero (the smooth global basis
+    cannot decouple per-region density, unlike the hash grid), after
+    which Adam coasting drives trunc_exp raw values to -45 and the
+    recovery overshoot NaNs; with l1 (reference surface, loss.py:26-30)
+    the sign-based gradient is incoherent while predictions are
+    uncorrelated with targets and the field stays alive.  This pins the
+    mechanism at test scale: after the same number of steps the l1 run's
+    peak density must exceed the mse run's by orders of magnitude."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from test_engine import dataset as _dsfix  # noqa: F401  (fixture)
+    from robust_e_nerf_tpu.data import synthetic
+    from robust_e_nerf_tpu.engine.trainer import Trainer
+    from test_engine import tiny_config
+
+    out = str(tmp_path_factory.mktemp("mlp_dyn_ds"))
+    synthetic.generate_dataset(
+        out, img_width=24, img_height=24, duration_s=2.0,
+        num_pose_samples=41, num_sim_frames=81, num_train_views=2,
+        num_val_views=2, num_test_views=2,
+    )
+
+    def peak_sigma(diff_fn, weight):
+        tmp = tmp_path_factory.mktemp(f"mlp_dyn_{diff_fn}")
+        cfg = tiny_config(
+            out, tmp,
+            **{
+                "model.nerf.arch": "mlp",
+                "optimizer.lr.default": 1e-3,
+                "loss.error_fn.log_intensity_diff": diff_fn,
+                "loss.param_weight.log_intensity_diff": weight,
+                "trainer.limit_train_batches": 48,
+                "trainer.check_val_every_n_epoch": 100,
+            },
+        )
+        cfg["trainer"]["logger"] = False
+        cfg["trainer"]["checkpoint_callback"] = False
+        trainer = Trainer(cfg, logging_enabled=False)
+        trainer.fit()
+        pts = jnp.asarray(
+            np.random.default_rng(3).uniform(-1.0, 1.0, (512, 3)),
+            jnp.float32,
+        )
+        sigma = fields.field_query_density(
+            trainer.params["nerf"]["radiance_field"], pts,
+            trainer.buffers["aabb"], trainer.spec.nerf.field,
+        )
+        return float(jnp.max(sigma))
+
+    sig_l1 = peak_sigma("l1", "mean_contrast_reciprocal")
+    sig_mse = peak_sigma("mse", "mean_contrast_reciprocal_sq")
+    # at full scale the separation is ~15 orders of magnitude within 64
+    # steps (diag logs: sigma ~4 alive vs ~1e-15 crushed); at this test
+    # scale (48 steps, 2^14 budget, 24x24 scene, deterministic seeds) the
+    # crush is still in progress — assert the direction with the
+    # measured margins (l1 2.59 vs mse 1.08)
+    assert sig_l1 > 1.5 * max(sig_mse, 1e-30)
+    assert sig_l1 > 1.0
