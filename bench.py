@@ -112,13 +112,16 @@ STEADY_CONFIGS = (
 
 
 def discover_steady_ckpt(arch, here):
-    """Fall back to the best checkpoint a quality run left behind.
+    """Fall back to a checkpoint a quality run left behind.
 
-    Trainer.save_checkpoint persists a `best.json` ranking next to its
-    checkpoints (the file counterpart of Lightning's
-    ModelCheckpoint.best_model_path); pick the best-scoring one across
-    the arch's quality-run log dirs so the steady bench tracks whatever
-    training evidence exists on this machine.
+    Prefers the NEWEST `last.npz` (written by checkpoint.save_last at
+    every save cadence): the steady bench must restore the SHARPEST
+    state a run reached, and on small scenes the monitored val metric
+    peaks early in the fog regime — round 3's steady entries restored a
+    best-val checkpoint that was still fog (marched ~= visible), which
+    invalidated its lever A/B (docs/ROADMAP.md round-4 #1).  Falls back
+    to the `best.json` ranking (the file counterpart of Lightning's
+    ModelCheckpoint.best_model_path) for runs without save_last.
     """
     import glob
 
@@ -128,6 +131,14 @@ def discover_steady_ckpt(arch, here):
                     "best.json"),
         "ngp": ("logs/train/ngp*/version_*/checkpoints/best.json",),
     }
+    lasts = [
+        p for pat in pats[arch]
+        for p in glob.glob(os.path.join(
+            here, pat.replace("best.json", "last.npz")
+        ))
+    ]
+    if lasts:
+        return max(lasts, key=os.path.getmtime)
     best_path, best_score = None, None
     candidates = [p for pat in pats[arch]
                   for p in glob.glob(os.path.join(here, pat))]
