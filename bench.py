@@ -12,10 +12,10 @@ dynamic batch-size controller holds constant, so it is comparable across
 archs and budgets.  `extra` carries the full grid: both archs (tensorf,
 and the reference-parity `ngp`) at both 2^18 and 2^20 budgets, plus
 steps/s, rays/s and events/s for each — and, when trained checkpoints
-are present, `:steady` entries measured in the restored sharp regime
-with the semantics-preserving adaptive levers on (visible-compacted
-rendering + the sample-prefix ladder), the state a long run actually
-spends its time in.
+are present, `:steady` entries measured from a restored trained
+checkpoint (converged occupancy grid + batch controller), the state a
+long run actually spends its time in, using the measured-best lever
+configuration (levers off — see STEADY_LEVERS below).
 
 vs_baseline is the ratio to round 1's driver-recorded 756,460 ray
 samples/s/chip (BENCH_r01.json, tensorf @ 2^18 — the only prior measured
@@ -88,18 +88,20 @@ CONFIGS = (
 )
 
 # Steady-regime entries: restored from a trained checkpoint so the
-# occupancy grid / batch controller sit in the SHARP regime a 40k-step
-# run spends >95% of its steps in (near init, fog fills the grid and
-# every marched sample is visible, which hides the visibility-compacted
-# render's gains).  The adaptive levers enabled here are
-# semantics-preserving: `visible_compact` reproduces the reference
-# marcher's sigma_fn drop-before-render filter
-# (/root/reference/robust_e_nerf/external/utils.py:107-130) and the
-# sample-prefix ladder only skips arithmetic on dead padding rows —
-# both are the fixed-shape counterparts of the reference CUDA kernels'
-# dynamic-shape scaling, not an algorithm change.  Entries are skipped
-# when their checkpoint is absent.
-STEADY_LEVERS = {"visible_compact": True, "sample_bucket_levels": 4}
+# occupancy grid / batch controller sit in the regime a long run
+# actually spends its steps in.  Levers are OFF here — the measured-best
+# configuration: the round-4 steady A/B from the ngp run's epoch-4
+# checkpoint (docs/PERFORMANCE.md "Round-4 steady-regime lever A/B",
+# docs/diagnostics/r4_steady_ab/) measured the full train step at
+# baseline 7.58 s vs ladder 9.53 / viscompact 9.53 / both 11.48 s: on
+# this workload the converged state keeps visible ~= marched (~242
+# samples/ray through epoch 12), so the visibility filter has nothing
+# to drop and the ladder always takes its top bucket while paying the
+# checkpointed-branch recompute.  The levers remain available
+# (`visible_compact`, `sample_bucket_levels` in the nerf config) for
+# workloads that DO go sparse.  Entries are skipped when their
+# checkpoint is absent.
+STEADY_LEVERS = {"visible_compact": False, "sample_bucket_levels": 1}
 STEADY_CONFIGS = (
     # (arch, budget_log2, warmup, bench_steps, ckpt_path_or_glob)
     ("tensorf", 20, 10, 20,
