@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark: training throughput on real hardware.
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line LAST (the driver captures a bounded tail of
+stdout — BENCH_r03/r04 were recorded `parsed: null` because the full
+grid inlined into that line overflowed the capture window):
   {"metric": "train_ray_samples_per_sec_per_chip", "value": N,
-   "unit": "samples/s", "vs_baseline": R, "extra": {...}}
+   "unit": "samples/s", "vs_baseline": R, "extra": {<per-config
+   one-liners>}}
+and writes the full per-config grid to BENCH_full.json next to this
+file.  The compact line is kept under ~1.5 kB by construction
+(tests/test_bench_output.py).
 
 The primary metric is ray samples (field evaluations) per second per chip
 for the flagship `tensorf` arch at the REFERENCE budget (2^20 ray samples
@@ -52,9 +58,14 @@ MXU_MS_PER_RENDER = 7.5      # MLP/SH/line matmuls, ~15 ms per step
 def roofline_floor_ms(arch, renders_per_step, batch, marched_per_ray):
     """Lower-bound step time (ms) from the random-row cost model.
 
-    tensorf (quad-packed VM grid, ops/vm_grid.py): 3 plane rows + 3 line
-    rows gathered per sample forward; plane gradient is a 3-row
-    scatter-add per sample (lines are matmuls).  ngp (ops/hash_grid.py):
+    tensorf (quad-packed VM grid, ops/vm_grid.py): each of the three
+    plane projections gathers ONE quad-packed row per sample forward
+    (vs 4 bilinear corners unpacked) and scatter-adds one row per
+    sample backward; the line factors ride the MXU as matmuls.  So 3
+    gather rows + 3 scatter rows per sample — this matches
+    `vm_grid.encode`'s loop over `_PROJECTIONS`, not the older 1-row
+    accounting (see docs/PERFORMANCE.md roofline table).
+    ngp (ops/hash_grid.py):
     5 packed dense rows + 88 hashed corner rows gathered per sample; the
     table gradient is 2 feats x 8 corners x 11 hashed levels = 176
     1-D scattered elements per sample plus dense slice-adds (~free).
@@ -64,10 +75,10 @@ def roofline_floor_ms(arch, renders_per_step, batch, marched_per_ray):
     samples = float(batch) * float(marched_per_ray)  # per render
     march_probe_rows = 2.0 * samples
     if arch == "tensorf":
-        # docs/PERFORMANCE.md roofline table: 1 plane row gathered and 1
-        # plane gradient row scattered per sample (lines ride the MXU)
-        gather_rows = 1.0 * samples
-        scatter_ns = 1.0 * samples * SCATTER_NS_PER_ROW
+        # one quad-packed row gathered + one gradient row scattered per
+        # sample PER PLANE PROJECTION (3 of them) — vm_grid.encode
+        gather_rows = 3.0 * samples
+        scatter_ns = 3.0 * samples * SCATTER_NS_PER_ROW
     elif arch == "ngp":
         gather_rows = 93.0 * samples
         scatter_ns = 176.0 * samples * SCATTER1D_NS_PER_ELEM
@@ -297,14 +308,51 @@ def main():
         except Exception as exc:  # a broken ckpt must not sink the bench
             print(f"steady bench {tag} failed: {exc}", file=sys.stderr)
 
+    emit(grid, str(jax.devices()[0]),
+         os.path.join(here, "BENCH_full.json"))
+
+
+def emit(grid, device, full_path):
+    """Write the full grid to `full_path` and print ONE compact JSON
+    line LAST on stdout.
+
+    The driver captures a bounded tail of stdout; inlining the full grid
+    overflowed it for two rounds (BENCH_r03/r04 `parsed: null`), so the
+    compact line carries only the primary metric plus per-config
+    one-liners and stays under ~1.5 kB (tests/test_bench_output.py).
+    """
     if not grid:
         print(json.dumps({"metric": "train_ray_samples_per_sec_per_chip",
                           "value": 0, "unit": "samples/s",
                           "vs_baseline": 0,
                           "extra": {"error": "no bench configs ran"}}))
         return
+    payload_full = {
+        "metric": "train_ray_samples_per_sec_per_chip",
+        "primary_config": "tensorf@2^20 (reference budget)",
+        "baseline": {
+            "kind": "round1_self",
+            "value": ROUND1_SAMPLES_PER_SEC,
+            "note": "vs_baseline divides by round 1's self-measured "
+                    "tensorf@2^18 rate (BENCH_r01.json); the reference "
+                    "repo publishes no numbers and no A100 is "
+                    "reachable here (BASELINE.md)",
+        },
+        "device": device,
+        "grid": grid,
+    }
+    with open(full_path, "w") as f:
+        json.dump(payload_full, f, indent=1)
     primary = grid.get("tensorf@2^20") or next(iter(grid.values()))
     value = primary["ray_samples_per_sec_per_chip"]
+    compact_grid = {
+        tag: {
+            "samples_per_sec": entry["ray_samples_per_sec_per_chip"],
+            "ms_per_step": entry["ms_per_step"],
+            "roofline_fraction": entry["roofline_fraction"],
+        }
+        for tag, entry in grid.items()
+    }
     print(json.dumps({
         "metric": "train_ray_samples_per_sec_per_chip",
         "value": value,
@@ -312,17 +360,12 @@ def main():
         "vs_baseline": round(value / ROUND1_SAMPLES_PER_SEC, 3),
         "extra": {
             "primary_config": "tensorf@2^20 (reference budget)",
-            "baseline": {
-                "kind": "round1_self",
-                "value": ROUND1_SAMPLES_PER_SEC,
-                "note": "vs_baseline divides by round 1's self-measured "
-                        "tensorf@2^18 rate (BENCH_r01.json); the reference "
-                        "repo publishes no numbers and no A100 is "
-                        "reachable here (BASELINE.md)",
-            },
+            "baseline_kind": "round1_self (BENCH_r01.json; "
+                             "reference publishes no numbers)",
             "roofline_fraction": primary.get("roofline_fraction"),
-            "device": str(jax.devices()[0]),
-            "grid": grid,
+            "device": device,
+            "full_grid": "BENCH_full.json",
+            "grid": compact_grid,
         },
     }))
 

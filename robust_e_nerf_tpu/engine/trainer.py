@@ -136,6 +136,10 @@ class Trainer:
         vci = trainer_cfg.get("val_check_interval")
         vci = 1.0 if vci is None else vci
         if isinstance(vci, int) and not isinstance(vci, bool):
+            assert vci >= 1, (
+                f"val_check_interval must be a positive number of train "
+                f"batches when given as an int, got {vci!r}"
+            )
             self.val_every_n_steps = int(vci)
         else:
             vci = float(vci)
@@ -390,9 +394,11 @@ class Trainer:
                         ),
                         flush=True,
                     )
-                    if self.checkpoint_enabled and (
-                        self.ckpt_monitor is not None
-                    ):
+                    # save on every validation end like Lightning's
+                    # ModelCheckpoint — the monitor-less path keeps the
+                    # latest k, the monitored path ranks by the metric,
+                    # and save_last refreshes last.npz either way
+                    if self.checkpoint_enabled:
                         self.save_checkpoint(metrics,
                                              epoch=self.current_epoch)
 
@@ -651,19 +657,13 @@ class Trainer:
         `epoch` labels the checkpoint filename; it defaults to the just-
         finished epoch (`current_epoch - 1`, the end-of-epoch call site) —
         mid-epoch validation passes the in-progress epoch explicitly.
+        The every_n_epochs cadence gates on `epoch + 1`, Lightning's
+        `(current_epoch + 1) % every_n != 0` skip rule, so mid-epoch and
+        end-of-epoch call sites agree on which epochs save.
         """
         if epoch is None:
             epoch = self.current_epoch - 1
         if not self.is_main_process:
-            return None
-        # every_n_epochs == 0 disables epoch-cadence saving entirely
-        # (Lightning's ModelCheckpoint semantics)
-        if self.ckpt_every_n_epochs == 0:
-            return None
-        if (
-            self.current_epoch > 0
-            and self.current_epoch % self.ckpt_every_n_epochs != 0
-        ):
             return None
         folder = self.ckpt_dirpath or os.path.join(
             self.log_dir, "checkpoints"
@@ -685,11 +685,18 @@ class Trainer:
                 hparams=hparams,
             )
 
-        # `last.npz` is written before any monitor-based skip: like
-        # Lightning's save_last, it tracks the newest state even when the
-        # monitored metric stopped improving (or save_top_k == 0)
+        # `last.npz` is written before any cadence or monitor-based skip:
+        # Lightning's save_last refreshes the last checkpoint on every
+        # save opportunity regardless of every_n_epochs / save_top_k, so
+        # it stays a valid resume anchor for watchdog restarts
         if self.ckpt_save_last:
             _write(os.path.join(folder, "last.npz"))
+        # every_n_epochs == 0 disables epoch-cadence saving entirely
+        # (Lightning's ModelCheckpoint semantics)
+        if self.ckpt_every_n_epochs == 0:
+            return None
+        if (epoch + 1) % self.ckpt_every_n_epochs != 0:
+            return None
         if self.ckpt_save_top_k == 0:
             return None
         score = None

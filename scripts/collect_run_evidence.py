@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--dest", default=None,
                     help="tracked checkpoint path (default "
                          "logs/train/<tag>-best.npz)")
+    ap.add_argument("--merge", action="store_true",
+                    help="keep ALL previously collected epochs, even ones "
+                         ">= the new log's first epoch (default keeps only "
+                         "epochs strictly below it — the resume case — so "
+                         "a from-scratch rerun under the same tag cannot "
+                         "inherit epochs it never produced)")
     args = ap.parse_args()
 
     traj_path = os.path.join(REPO, "docs", "diagnostics",
@@ -59,14 +65,21 @@ def main():
               file=sys.stderr)
     # merge with previously collected epochs: after a machine recreation
     # or log rotation, a resumed run's stdout log only contains LATER
-    # epochs, and rebuilding from it alone would drop committed history
+    # epochs, and rebuilding from it alone would drop committed history.
+    # Only epochs strictly BELOW the new log's first epoch are inherited
+    # (the resume case) — a from-scratch rerun under the same tag must
+    # not silently report trailing epochs the current run never reached
+    # (pass --merge to keep everything, e.g. interleaved partial logs).
+    new_min = min((int(ln.split()[1]) for ln in lines), default=None)
     by_epoch = {}
     if os.path.isfile(traj_path):
         with open(traj_path) as f:
             for ln in f:
                 ln = ln.rstrip("\n")
                 if VAL_LINE.match(ln):
-                    by_epoch[int(ln.split()[1])] = ln
+                    ep = int(ln.split()[1])
+                    if args.merge or new_min is None or ep < new_min:
+                        by_epoch[ep] = ln
     # keep the LAST occurrence per epoch (babysitter restarts re-validate)
     for ln in lines:
         by_epoch[int(ln.split()[1])] = ln

@@ -20,10 +20,14 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # generous rendezvous window: the default 30 s Gloo connect window
+    # flakes when the machine is under load (full-suite runs alongside a
+    # training process) — see tests/test_multihost.py, which also retries
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=2,
         process_id=process_id,
+        initialization_timeout=180,
     )
     assert jax.process_count() == 2
     assert len(jax.devices()) == 2  # one CPU device per process

@@ -32,7 +32,6 @@ def test_two_process_training(tmp_path_factory):
         num_val_views=1, num_test_views=1,
     )
 
-    port = _free_port()
     worker = os.path.join(os.path.dirname(__file__),
                           "multihost_worker.py")
     env = dict(os.environ)
@@ -42,21 +41,35 @@ def test_two_process_training(tmp_path_factory):
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_NUM_CPU_DEVICES"] = "1"
 
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port), dataset],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd=tmp,
-        )
-        for pid in range(2)
-    ]
-    outputs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outputs.append(out)
-    for pid, (p, out) in enumerate(zip(procs, outputs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out}"
-        assert "MULTIHOST_OK" in out, out
+    # under machine load (full suite next to a live training run) the
+    # Gloo rendezvous can miss even a generous window — retry with a
+    # fresh port before declaring a code defect
+    _RENDEZVOUS = ("timed out", "Timed out", "timeout", "Timeout",
+                   "DEADLINE_EXCEEDED", "UNAVAILABLE")
+    for attempt in range(3):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(pid), str(port), dataset],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=tmp,
+            )
+            for pid in range(2)
+        ]
+        outputs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outputs.append(out)
+        ok = all(p.returncode == 0 and "MULTIHOST_OK" in out
+                 for p, out in zip(procs, outputs))
+        if ok:
+            break
+        transient = any(sig in out for out in outputs
+                        for sig in _RENDEZVOUS)
+        if not transient or attempt == 2:
+            for pid, (p, out) in enumerate(zip(procs, outputs)):
+                assert p.returncode == 0, f"process {pid} failed:\n{out}"
+                assert "MULTIHOST_OK" in out, out
 
     # same loss and checksum on both processes
     def parse(out):
