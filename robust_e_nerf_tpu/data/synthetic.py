@@ -196,6 +196,8 @@ def generate_dataset(
     elevation_sweep=0.0,  # radians; >0 sweeps a hemisphere band
     log_eps=1e-3,
     seed=0,
+    sphere_radius=1.0,  # <1 leaves real empty space in the aabb — the
+    #                     sparse-workload regime for the adaptive levers
 ):
     os.makedirs(out_dir, exist_ok=True)
     views_dir = os.path.join(out_dir, "views")
@@ -248,7 +250,7 @@ def generate_dataset(
         theta = theta_of(t)
         pos, rot = orbit_pose(theta, phi=phi_of(theta))
         img, _ = render_linear(pos, rot, intrinsics_inv, img_width,
-                               img_height)
+                               img_height, sphere_radius=sphere_radius)
         log_frames[k] = np.log(img + log_eps).reshape(-1)
 
     neg_threshold = contrast_threshold
@@ -297,7 +299,8 @@ def generate_dataset(
             else:
                 pos, rot = orbit_pose(theta, elevation=elev)
             img, alpha = render_linear(pos, rot, intrinsics_inv,
-                                       img_width, img_height)
+                                       img_width, img_height,
+                                       sphere_radius=sphere_radius)
             display = np.power(np.clip(img, 0.0, 1.0), 1.0 / GAMMA)
             display_u8 = np.clip(
                 np.round(display * 255.0), 0, 255

@@ -22,6 +22,11 @@ def main():
     parser.add_argument("--speed-wobble", type=float, default=0.0)
     parser.add_argument("--revolutions", type=float, default=1.0)
     parser.add_argument("--elevation-sweep", type=float, default=0.0)
+    parser.add_argument("--fov", type=float, default=60.0,
+                        help="horizontal field of view (deg)")
+    parser.add_argument("--sphere-radius", type=float, default=1.0,
+                        help="<1 leaves real empty space in the aabb "
+                             "(sparse-workload lever validation)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
     synthetic.generate_dataset(
@@ -36,6 +41,8 @@ def main():
         speed_wobble=args.speed_wobble,
         revolutions=args.revolutions,
         elevation_sweep=args.elevation_sweep,
+        fov_deg=args.fov,
+        sphere_radius=args.sphere_radius,
         seed=args.seed,
     )
     print(f"dataset written to {args.out_dir}")

@@ -55,7 +55,8 @@ def main():
 
     cfg = load_config(os.path.join(REPO, "configs", "train",
                                    "tpu-sphere.yaml"))
-    cfg["data"]["dataset_directory"] = DATASET
+    cfg["data"]["dataset_directory"] = os.environ.get("REN_PROF_DATASET",
+                                                      DATASET)
     cfg["data"]["train_eff_ray_sample_batch_size"] = 1 << budget_log2
     cfg["data"]["train_ray_batch_capacity"] = int(
         os.environ.get("REN_PROF_CAP", 8192)
