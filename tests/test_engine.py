@@ -574,6 +574,44 @@ def test_checkpoint_every_n_epochs(trained, tmp_path_factory):
          trained._ckpt_records, trained.current_epoch) = saved
 
 
+def test_checkpoint_every_n_epochs_mid_epoch_consistent(trained,
+                                                        tmp_path_factory):
+    """The every_n_epochs cadence gates on Lightning's (epoch+1) % n rule
+    from the `epoch` ARGUMENT, so the mid-epoch call site (which passes
+    the in-progress epoch while current_epoch is not yet incremented)
+    saves on the same epochs as the end-of-epoch call site — and
+    save_last refreshes last.npz even on off-cadence epochs."""
+    tmp = tmp_path_factory.mktemp("ckpt_cadence_mid")
+    saved = (
+        trained.ckpt_every_n_epochs, trained.ckpt_dirpath,
+        trained._ckpt_records, trained.current_epoch,
+        trained.ckpt_save_last, trained.global_step,
+    )
+    try:
+        trained.ckpt_every_n_epochs = 2
+        trained.ckpt_dirpath = str(tmp)
+        trained._ckpt_records = []
+        trained.ckpt_save_last = True
+        # mid-epoch call during epoch 0 (current_epoch == 0): eff = 1
+        trained.current_epoch = 0
+        assert trained.save_checkpoint(epoch=0) is None
+        # ... but last.npz was still refreshed (resume anchor)
+        assert os.path.isfile(os.path.join(str(tmp), "last.npz"))
+        # mid-epoch call during epoch 1 must agree with the end-of-epoch
+        # call after epoch 1 (current_epoch == 2): both save (eff = 2)
+        trained.current_epoch = 1
+        mid = trained.save_checkpoint(epoch=1)
+        assert mid is not None and "epoch=1" in os.path.basename(mid)
+        trained.current_epoch = 2
+        trained.global_step += 1
+        end = trained.save_checkpoint()
+        assert end is not None and "epoch=1" in os.path.basename(end)
+    finally:
+        (trained.ckpt_every_n_epochs, trained.ckpt_dirpath,
+         trained._ckpt_records, trained.current_epoch,
+         trained.ckpt_save_last, trained.global_step) = saved
+
+
 def test_checkpoint_save_weights_only(trained, tmp_path_factory):
     """save_weights_only drops the optimizer state; restore() then warns
     and resumes with a fresh optimizer."""
