@@ -110,8 +110,10 @@ CONFIGS = (
 # to drop and the ladder always takes its top bucket while paying the
 # checkpointed-branch recompute.  The levers remain available
 # (`visible_compact`, `sample_bucket_levels` in the nerf config) for
-# workloads that DO go sparse.  Entries are skipped when their
-# checkpoint is absent.
+# workloads that DO go sparse — the round-5 sphere-128 A/B measured
+# BOTH levers together 2.39x faster at visible/marched = 0.139; the
+# `ngp-128@2^20:steady-sparse` entry below benches that regime with
+# levers ON.  Entries are skipped when their checkpoint is absent.
 STEADY_LEVERS = {"visible_compact": False, "sample_bucket_levels": 1}
 STEADY_CONFIGS = (
     # (arch, budget_log2, warmup, bench_steps, ckpt_path_or_glob)
@@ -174,7 +176,7 @@ def discover_steady_ckpt(arch, here):
 
 
 def bench_one(arch, budget_log2, warmup, bench_steps,
-              ckpt=None, levers=None):
+              ckpt=None, levers=None, dataset=None):
     import jax
 
     from robust_e_nerf_tpu.engine.trainer import Trainer
@@ -184,7 +186,7 @@ def bench_one(arch, budget_log2, warmup, bench_steps,
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "configs", "train", "tpu-sphere.yaml")
     )
-    cfg["data"]["dataset_directory"] = DATASET
+    cfg["data"]["dataset_directory"] = dataset or DATASET
     cfg["data"]["train_eff_ray_sample_batch_size"] = 1 << budget_log2
     # steady entries keep the quality runs' ray capacity so the restored
     # controller state stays in range
@@ -307,6 +309,34 @@ def main():
                                   ckpt=path, levers=dict(STEADY_LEVERS))
         except Exception as exc:  # a broken ckpt must not sink the bench
             print(f"steady bench {tag} failed: {exc}", file=sys.stderr)
+
+    # Sparse-steady: the round-5 sphere-128 regime where the converged
+    # field keeps visible/marched ~= 0.14 and BOTH levers together are
+    # 2.39x faster (docs/PERFORMANCE.md "Round-5 lever A/B") — the
+    # counterpart to the dense sphere-64 steady entries above, restored
+    # from the ngp-128 quality run.  Skipped when no checkpoint exists.
+    if not only or only == "ngp:20:steady-sparse":
+        sparse_ckpt = None
+        for cand in (
+            os.environ.get("REN_BENCH_NGP128_CKPT"),
+            "logs/train/ngp-128-r5/version_0/checkpoints/last.npz",
+            "logs/train/ngp-128-r5-last-weights.npz",
+        ):
+            if cand:
+                p = cand if os.path.isabs(cand) else os.path.join(here, cand)
+                if os.path.isfile(p):
+                    sparse_ckpt = p
+                    break
+        if sparse_ckpt:
+            try:
+                grid["ngp-128@2^20:steady-sparse"] = bench_one(
+                    "ngp", 20, 5, 8, ckpt=sparse_ckpt,
+                    levers={"visible_compact": True,
+                            "sample_bucket_levels": 4},
+                    dataset=os.path.join(here, "datasets", "sphere-128"),
+                )
+            except Exception as exc:
+                print(f"sparse-steady bench failed: {exc}", file=sys.stderr)
 
     emit(grid, str(jax.devices()[0]),
          os.path.join(here, "BENCH_full.json"))

@@ -812,9 +812,56 @@ class Trainer:
             )
         return mismatches
 
+    def _restore_ckpt_records(self):
+        """Reload the checkpoint ranking from `best.json` on resume.
+
+        Lightning restores ModelCheckpoint callback state (best_k_models,
+        best_model_path) from the checkpoint itself, so a watchdog restart
+        never forgets an early-peaked best model.  Our ranking lives in
+        best.json (save_checkpoint); seed `_ckpt_records` from it, keeping
+        only entries whose files still exist and whose monitor/mode match
+        the active config (a monitor change invalidates old scores)."""
+        folder = self.ckpt_dirpath or os.path.join(
+            self.log_dir, "checkpoints"
+        )
+        best_path = os.path.join(folder, "best.json")
+        if not os.path.isfile(best_path):
+            return
+        try:
+            with open(best_path) as f:
+                stored = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return
+        if (
+            stored.get("monitor") != self.ckpt_monitor
+            or stored.get("mode") != self.ckpt_mode
+        ):
+            print(
+                "WARNING: best.json monitor/mode "
+                f"({stored.get('monitor')!r}/{stored.get('mode')!r}) does "
+                f"not match the active config ({self.ckpt_monitor!r}/"
+                f"{self.ckpt_mode!r}); discarding the stored ranking"
+            )
+            return
+        for rec in stored.get("records") or []:
+            p = rec.get("path")
+            if p and os.path.isfile(p):
+                s = rec.get("score")
+                self._ckpt_records.append(
+                    (None if s is None else float(s), p)
+                )
+        if self._ckpt_records:
+            if self.ckpt_monitor is not None:
+                key = (lambda r: r[0]) if self.ckpt_mode == "min" \
+                    else (lambda r: -r[0])
+                self.best_model_path = min(self._ckpt_records, key=key)[1]
+            else:
+                self.best_model_path = self._ckpt_records[-1][1]
+
     def restore(self, path):
         flat = ckpt_mod.load_checkpoint_flat(path)
         self._validate_restore_hparams(flat)
+        self._restore_ckpt_records()
         host_params = jax.device_get(self.params)
         host_opt = jax.device_get(self.opt_state)
         host_occ = jax.device_get(self.occ_state)

@@ -40,6 +40,7 @@ def test_emit_compact_line_roundtrips_and_fits(tmp_path, capsys):
         "ngp@2^18": _fake_entry(313197.3, 1671.7, 0.714),
         "tensorf@2^20:steady": _fake_entry(3110000.0, 640.2, 0.52),
         "ngp@2^20:steady": _fake_entry(276181.0, 7590.0, 0.623),
+        "ngp-128@2^20:steady-sparse": _fake_entry(653000.0, 3211.0, 0.57),
     }
     full_path = tmp_path / "BENCH_full.json"
     bench.emit(grid, "TPU v5 lite0", str(full_path))

@@ -533,6 +533,63 @@ def test_checkpoint_save_last(trained, tmp_path_factory):
          trained.best_model_path) = saved
 
 
+def test_checkpoint_records_restored_on_resume(trained, tmp_path_factory):
+    """A watchdog restart must not forget an early-peaked best model:
+    Lightning restores ModelCheckpoint state (best_k_models) from the
+    checkpoint on resume, so a later save can't displace a better early
+    one.  Our ranking persists in best.json; `restore()` reloads it
+    (trainer._restore_ckpt_records).  Regression: the round-5 ngp-128 run
+    peaked at epoch 1 (val 19.45), the babysitter restarted twice, and
+    best.json forgot the peak — post-restart saves ranked only against
+    the current attempt's records."""
+    tmp = tmp_path_factory.mktemp("ckpt_resume_records")
+    saved = (
+        trained.ckpt_monitor, trained.ckpt_mode, trained.ckpt_save_top_k,
+        trained.ckpt_dirpath, trained._ckpt_records, trained.global_step,
+        trained.best_model_path,
+    )
+    try:
+        trained.ckpt_monitor = "val/psnr"
+        trained.ckpt_mode = "max"
+        trained.ckpt_save_top_k = 2
+        trained.ckpt_dirpath = str(tmp)
+        trained._ckpt_records = []
+        p_best = trained.save_checkpoint({"val/psnr": 19.45})
+        trained.global_step += 1
+        p2 = trained.save_checkpoint({"val/psnr": 16.05})
+        # simulate a process restart: fresh in-memory ranking state
+        trained._ckpt_records = []
+        trained.best_model_path = None
+        trained._restore_ckpt_records()
+        assert trained.best_model_path == p_best
+        assert sorted(s for s, _ in trained._ckpt_records) == [16.05, 19.45]
+        # a post-restart save ranks against the RESTORED records: a
+        # mediocre epoch evicts the worst kept one, never the true best
+        trained.global_step += 1
+        p3 = trained.save_checkpoint({"val/psnr": 16.10})
+        assert p3 is not None and not os.path.isfile(p2)
+        assert os.path.isfile(p_best)
+        assert trained.best_model_path == p_best
+        # records whose files were deleted are dropped on restore
+        os.remove(p3)
+        trained._ckpt_records = []
+        trained.best_model_path = None
+        trained._restore_ckpt_records()
+        assert [p for _, p in trained._ckpt_records] == [p_best]
+        # a monitor change invalidates the stored ranking entirely
+        trained.ckpt_monitor = "val/l1"
+        trained.ckpt_mode = "min"
+        trained._ckpt_records = []
+        trained.best_model_path = None
+        trained._restore_ckpt_records()
+        assert trained._ckpt_records == []
+        assert trained.best_model_path is None
+    finally:
+        (trained.ckpt_monitor, trained.ckpt_mode, trained.ckpt_save_top_k,
+         trained.ckpt_dirpath, trained._ckpt_records, trained.global_step,
+         trained.best_model_path) = saved
+
+
 def test_checkpoint_top_k_latest_without_monitor(trained, tmp_path_factory):
     """Without a monitor, save_top_k keeps the LATEST k checkpoints."""
     tmp = tmp_path_factory.mktemp("ckpt_latest")
