@@ -116,13 +116,17 @@ CONFIGS = (
 # levers ON.  Entries are skipped when their checkpoint is absent.
 STEADY_LEVERS = {"visible_compact": False, "sample_bucket_levels": 1}
 STEADY_CONFIGS = (
-    # (arch, budget_log2, warmup, bench_steps, ckpt_path_or_glob)
+    # (arch, budget_log2, warmup, bench_steps, ckpt candidates tried in
+    # order — the last entries are the git-committed weights-only best
+    # checkpoints, so the steady entries survive machine recreation
+    # (run dirs live under gitignored logs/ and are lost between rounds)
     ("tensorf", 20, 10, 20,
-     os.environ.get("REN_BENCH_TENSORF_CKPT",
-                    "logs/train/tensorf-steady.npz")),
+     (os.environ.get("REN_BENCH_TENSORF_CKPT"),
+      "logs/train/tensorf-steady.npz")),
     ("ngp", 20, 5, 8,
-     os.environ.get("REN_BENCH_NGP_CKPT",
-                    "logs/train/ngp-64-best.npz")),
+     (os.environ.get("REN_BENCH_NGP_CKPT"),
+      "logs/train/ngp-64-best.npz",
+      "logs/train/ngp-64-r4-best-weights.npz")),
 )
 
 
@@ -295,20 +299,28 @@ def main():
             continue
         grid[tag] = bench_one(arch, budget_log2, warmup, steps)
     here = os.path.dirname(os.path.abspath(__file__))
-    for arch, budget_log2, warmup, steps, ckpt in STEADY_CONFIGS:
+    for arch, budget_log2, warmup, steps, ckpts in STEADY_CONFIGS:
         tag = f"{arch}@2^{budget_log2}:steady"
         if only and only != f"{arch}:{budget_log2}:steady":
             continue
-        path = ckpt if os.path.isabs(ckpt) else os.path.join(here, ckpt)
-        if not os.path.isfile(path):
-            path = discover_steady_ckpt(arch, here)
-        if not path:
-            continue
-        try:
-            grid[tag] = bench_one(arch, budget_log2, warmup, steps,
-                                  ckpt=path, levers=dict(STEADY_LEVERS))
-        except Exception as exc:  # a broken ckpt must not sink the bench
-            print(f"steady bench {tag} failed: {exc}", file=sys.stderr)
+        candidates = [
+            c if os.path.isabs(c) else os.path.join(here, c)
+            for c in ckpts if c
+        ]
+        candidates = [p for p in candidates if os.path.isfile(p)]
+        discovered = discover_steady_ckpt(arch, here)
+        if discovered:
+            candidates.insert(0 if not candidates else 1, discovered)
+        for path in candidates:
+            try:
+                grid[tag] = bench_one(arch, budget_log2, warmup, steps,
+                                      ckpt=path,
+                                      levers=dict(STEADY_LEVERS))
+                break
+            except Exception as exc:  # broken/shape-mismatched ckpt:
+                # try the next candidate, never sink the bench
+                print(f"steady bench {tag} failed with {path}: {exc}",
+                      file=sys.stderr)
 
     # Sparse-steady: the round-5 sphere-128 regime where the converged
     # field keeps visible/marched ~= 0.14 and BOTH levers together are
@@ -321,6 +333,9 @@ def main():
             os.environ.get("REN_BENCH_NGP128_CKPT"),
             "logs/train/ngp-128-r5/version_0/checkpoints/last.npz",
             "logs/train/ngp-128-r5-last-weights.npz",
+            # git-committed weights-only best (epoch 1): survives machine
+            # recreation; carries step/batch/occ state like any ckpt
+            "logs/train/ngp-128-r5-best-weights.npz",
         ):
             if cand:
                 p = cand if os.path.isabs(cand) else os.path.join(here, cand)
